@@ -1,0 +1,112 @@
+"""Default configuration tree.
+
+Mirrors the option schema of the reference framework
+(``/root/reference/mit_semseg/config/defaults.py:7-97``) so that the seven
+shipped ``config/*.yaml`` files load verbatim, with an additional ``TPU``
+group holding options that only exist in this TPU-native rebuild (mesh shape,
+compute dtype, shape-bucketing lattice for jit-compiled dynamic resolutions).
+
+Precedence (same as the reference, ``train.py:235-236``):
+    defaults  <  YAML file (``merge_from_file``)  <  CLI opts (``merge_from_list``)
+"""
+
+from .cfgnode import CfgNode
+
+_C = CfgNode()
+
+# Output directory for checkpoints / logs.
+_C.DIR = "ckpt/ade20k-resnet50dilated-ppm_deepsup"
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+_C.DATASET = CfgNode()
+_C.DATASET.root_dataset = "./data/"
+_C.DATASET.list_train = "./data/training.odgt"
+_C.DATASET.list_val = "./data/validation.odgt"
+_C.DATASET.num_class = 150
+# Multi-scale train/test short-side sizes; a scalar means single fixed size.
+_C.DATASET.imgSizes = (300, 375, 450, 525, 600)
+# Maximum long-side size.
+_C.DATASET.imgMaxSize = 1000
+# Images are padded so H and W are multiples of this (8 for dilated output
+# stride 8, 32 for UPerNet/HRNet feature pyramids).
+_C.DATASET.padding_constant = 8
+# Labels are downsampled by this factor to match decoder output stride.
+_C.DATASET.segm_downsampling_rate = 8
+# Random horizontal flip augmentation during training.
+_C.DATASET.random_flip = True
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+_C.MODEL = CfgNode()
+_C.MODEL.arch_encoder = "resnet50dilated"
+_C.MODEL.arch_decoder = "ppm_deepsup"
+# Path to encoder/decoder weights ("" = random / ImageNet init).
+_C.MODEL.weights_encoder = ""
+_C.MODEL.weights_decoder = ""
+# Channel count of the final encoder feature map fed to the decoder.
+_C.MODEL.fc_dim = 2048
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+_C.TRAIN = CfgNode()
+_C.TRAIN.batch_size_per_gpu = 2
+_C.TRAIN.num_epoch = 20
+_C.TRAIN.start_epoch = 0
+_C.TRAIN.epoch_iters = 5000
+
+_C.TRAIN.optim = "SGD"
+_C.TRAIN.lr_encoder = 0.02
+_C.TRAIN.lr_decoder = 0.02
+# Polynomial LR decay exponent: lr = base * (1 - iter/max_iters) ** lr_pow.
+_C.TRAIN.lr_pow = 0.9
+# SGD momentum.
+_C.TRAIN.beta1 = 0.9
+# L2 decay applied to conv/linear kernels only (not BN params, not biases).
+_C.TRAIN.weight_decay = 1e-4
+# Deep-supervision auxiliary loss weight.
+_C.TRAIN.deep_sup_scale = 0.4
+# Freeze batch-norm statistics (use running stats during training).
+_C.TRAIN.fix_bn = False
+
+_C.TRAIN.workers = 16
+_C.TRAIN.disp_iter = 20
+_C.TRAIN.seed = 304
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+_C.VAL = CfgNode()
+_C.VAL.batch_size = 1
+_C.VAL.visualize = False
+_C.VAL.checkpoint = "epoch_20.pth"
+
+# ---------------------------------------------------------------------------
+# Testing / inference
+# ---------------------------------------------------------------------------
+_C.TEST = CfgNode()
+_C.TEST.batch_size = 1
+_C.TEST.checkpoint = "epoch_20.pth"
+_C.TEST.result = "./"
+
+# ---------------------------------------------------------------------------
+# TPU-native extensions (absent from the reference)
+# ---------------------------------------------------------------------------
+_C.TPU = CfgNode()
+# Compute dtype inside convolutions ("bfloat16" or "float32"). Parameters and
+# batch-norm statistics always stay float32.
+_C.TPU.compute_dtype = "bfloat16"
+# Data-parallel mesh size; 0 = use all visible devices.
+_C.TPU.data_parallel = 0
+# Spatial bucket lattice step for jit shape bucketing: padded H/W are rounded
+# up to a multiple of this (>= padding_constant) to bound recompilations.
+_C.TPU.bucket_step = 32
+# Cap on concurrently cached compiled shapes (informational).
+_C.TPU.max_buckets = 64
+# Host data-pipeline prefetch depth (device batches in flight).
+_C.TPU.prefetch = 2
+
+cfg = _C
