@@ -1,0 +1,144 @@
+"""ModelBuilder: string-keyed encoder/decoder factories.
+
+Mirrors the reference's ``ModelBuilder``
+(``/root/reference/mit_semseg/models/models.py:50-157``): the same
+architecture keys build the same networks. Differences forced by the
+functional paradigm: builders return flax modules; parameters are created
+with ``init_variables`` and weights are loaded explicitly (torch ``.pth``
+checkpoints via ``semseg_tpu.models.convert``, native checkpoints via
+orbax) instead of mutating a module in place.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import decoders as dec
+from . import hrnet as hrnet_mod
+from . import mobilenet as mobilenet_mod
+from . import resnet as resnet_mod
+from .segmentation import SegmentationModel, SegmentationModule
+
+# Stage output channels per encoder arch (for UPerNet fpn_inplanes and the
+# deep-supervision branch which reads conv_out[-2]).
+ENCODER_CHANNELS = {
+    "mobilenetv2dilated": (24, 32, 64, 160, 320),
+    "resnet18": (64, 128, 256, 512),
+    "resnet18dilated": (64, 128, 256, 512),
+    "resnet50": (256, 512, 1024, 2048),
+    "resnet50dilated": (256, 512, 1024, 2048),
+    "resnet101": (256, 512, 1024, 2048),
+    "resnet101dilated": (256, 512, 1024, 2048),
+    "resnext101": (256, 512, 1024, 2048),
+    "hrnetv2": (720,),
+}
+
+
+class ModelBuilder:
+    @staticmethod
+    def build_encoder(
+        arch: str = "resnet50dilated",
+        fc_dim: int = 512,
+        weights: str = "",
+        *,
+        dtype: Any = jnp.float32,
+        axis_name: Optional[str] = None,
+    ):
+        """Build an encoder module by architecture key (models.py:63-110)."""
+        arch = arch.lower()
+        kw = dict(dtype=dtype, axis_name=axis_name)
+        if arch == "mobilenetv2dilated":
+            return mobilenet_mod.mobilenetv2dilated(**kw)
+        if arch == "resnet18":
+            return resnet_mod.resnet18(**kw)
+        if arch == "resnet18dilated":
+            return resnet_mod.resnet18(dilate_scale=8, **kw)
+        if arch in ("resnet34", "resnet34dilated"):
+            raise NotImplementedError(arch)
+        if arch == "resnet50":
+            return resnet_mod.resnet50(**kw)
+        if arch == "resnet50dilated":
+            return resnet_mod.resnet50(dilate_scale=8, **kw)
+        if arch == "resnet101":
+            return resnet_mod.resnet101(**kw)
+        if arch == "resnet101dilated":
+            return resnet_mod.resnet101(dilate_scale=8, **kw)
+        if arch == "resnext101":
+            return resnet_mod.resnext101(**kw)
+        if arch == "hrnetv2":
+            return hrnet_mod.hrnetv2(**kw)
+        raise ValueError(f"Architecture undefined: {arch!r}")
+
+    @staticmethod
+    def build_decoder(
+        arch: str = "ppm_deepsup",
+        fc_dim: int = 512,
+        num_class: int = 150,
+        weights: str = "",
+        use_softmax: bool = False,  # accepted for API parity; inference mode
+        *,                          # is selected per-call via seg_size instead
+        encoder_arch: Optional[str] = None,
+        dtype: Any = jnp.float32,
+        axis_name: Optional[str] = None,
+    ):
+        """Build a decoder module by architecture key (models.py:112-157)."""
+        arch = arch.lower()
+        kw = dict(num_class=num_class, fc_dim=fc_dim, dtype=dtype, axis_name=axis_name)
+        if arch == "c1_deepsup":
+            return dec.C1DeepSup(**kw)
+        if arch == "c1":
+            return dec.C1(**kw)
+        if arch == "ppm":
+            return dec.PPM(**kw)
+        if arch == "ppm_deepsup":
+            return dec.PPMDeepsup(**kw)
+        if arch in ("upernet", "upernet_lite"):
+            fpn_inplanes = ENCODER_CHANNELS.get(
+                (encoder_arch or "resnet50").lower(), (256, 512, 1024, 2048)
+            )
+            return dec.UPerNet(
+                fpn_inplanes=fpn_inplanes,
+                fpn_dim=512 if arch == "upernet" else 256,
+                **kw,
+            )
+        raise ValueError(f"Architecture undefined: {arch!r}")
+
+    @staticmethod
+    def build_model(cfg, *, dtype: Any = None, axis_name: Optional[str] = None):
+        """Assemble the full SegmentationModel from a config node."""
+        if dtype is None:
+            dtype = jnp.dtype(cfg.TPU.compute_dtype) if "TPU" in cfg else jnp.float32
+        encoder = ModelBuilder.build_encoder(
+            cfg.MODEL.arch_encoder, cfg.MODEL.fc_dim, dtype=dtype, axis_name=axis_name
+        )
+        decoder = ModelBuilder.build_decoder(
+            cfg.MODEL.arch_decoder,
+            fc_dim=cfg.MODEL.fc_dim,
+            num_class=cfg.DATASET.num_class,
+            encoder_arch=cfg.MODEL.arch_encoder,
+            dtype=dtype,
+            axis_name=axis_name,
+        )
+        deep_sup = (
+            cfg.TRAIN.deep_sup_scale
+            if cfg.MODEL.arch_decoder.endswith("deepsup")
+            else None
+        )
+        return SegmentationModel(
+            encoder=encoder, decoder=decoder, deep_sup_scale=deep_sup
+        )
+
+
+def init_variables(model: SegmentationModel, *, seed: int = 0, image_size=(64, 64)):
+    """Initialize parameters and batch statistics with a dummy forward."""
+    img = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
+    label = jnp.zeros((1, image_size[0] // 8, image_size[1] // 8), jnp.int32)
+    return model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
+        img,
+        seg_label=label,
+        train=True,
+    )

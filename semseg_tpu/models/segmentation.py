@@ -1,0 +1,103 @@
+"""SegmentationModule: encoder→decoder glue + loss/metrics.
+
+Rebuilds the reference ``SegmentationModule``
+(``/root/reference/mit_semseg/models/models.py:21-47``):
+
+* training (``seg_size=None``): forward through encoder+decoder, fused
+  softmax-cross-entropy with ``ignore_index=-1`` (the reference's
+  ``NLLLoss(ignore_index=-1)`` over log_softmax, train.py:154), plus the
+  deep-supervision term ``loss + scale * loss_deepsup`` (models.py:38-40);
+  returns ``(loss, acc)``.
+* inference (``seg_size=(H, W)``): returns per-pixel softmax scores at
+  ``seg_size`` (models.py:44-47).
+
+Two layers:
+
+* ``SegmentationModel`` — the pure flax module (jit/shard_map friendly).
+* ``SegmentationModule`` — a stateful convenience wrapper holding variables
+  and jit caches, accepting the reference's feed-dict calling convention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from semseg_tpu.ops import pixel_accuracy, softmax_cross_entropy_with_ignore
+
+
+class SegmentationModel(nn.Module):
+    """Pure functional encoder-decoder segmentation model."""
+
+    encoder: nn.Module
+    decoder: nn.Module
+    deep_sup_scale: Optional[float] = None
+    ignore_index: int = -1
+
+    def __call__(self, img, seg_label=None, seg_size=None, *, train: bool = False):
+        feats = self.encoder(img, train=train)
+        if seg_size is not None:
+            return self.decoder(feats, seg_size, train=False)
+
+        out = self.decoder(feats, train=train)
+        if self.deep_sup_scale is not None:
+            logits, logits_deepsup = out
+        else:
+            logits, logits_deepsup = out, None
+
+        loss = softmax_cross_entropy_with_ignore(
+            logits, seg_label, ignore_index=self.ignore_index
+        )
+        if logits_deepsup is not None:
+            loss = loss + self.deep_sup_scale * softmax_cross_entropy_with_ignore(
+                logits_deepsup, seg_label, ignore_index=self.ignore_index
+            )
+        acc = pixel_accuracy(logits, seg_label, ignore_index=self.ignore_index)
+        return loss, acc
+
+
+class SegmentationModule:
+    """Stateful wrapper with the reference's calling convention.
+
+    >>> module = SegmentationModule(model, variables)
+    >>> scores = module({'img_data': img_nhwc}, segSize=(h, w))   # inference
+    >>> loss, acc = module({'img_data': img, 'seg_label': lab})   # training fwd
+
+    Images are NHWC float32 (normalized); labels are (N, H, W) int32 with -1
+    for void. jit-compiled per input shape (shape bucketing bounds the number
+    of distinct shapes — see semseg_tpu.data).
+    """
+
+    def __init__(self, model: SegmentationModel, variables):
+        self.model = model
+        self.variables = variables
+
+    @functools.cached_property
+    def _infer_fn(self):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(variables, img, seg_size):
+            return self.model.apply(variables, img, seg_size=seg_size, train=False)
+
+        return run
+
+    @functools.cached_property
+    def _train_fwd_fn(self):
+        @jax.jit
+        def run(variables, img, label):
+            (loss, acc), _ = self.model.apply(
+                variables, img, seg_label=label, train=True,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return loss, acc
+
+        return run
+
+    def __call__(self, feed_dict, *, segSize=None):
+        img = feed_dict["img_data"]
+        if segSize is not None:
+            return self._infer_fn(self.variables, img, tuple(segSize))
+        return self._train_fwd_fn(self.variables, img, feed_dict["seg_label"])
