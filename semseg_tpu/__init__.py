@@ -14,3 +14,13 @@ README.md:239-244):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SEMSEG_PLATFORM"):
+    # The axon TPU plugin force-sets jax_platforms at interpreter start, so a
+    # plain JAX_PLATFORMS env var is ignored; this gives CLI users (and CI) a
+    # working override, e.g. SEMSEG_PLATFORM=cpu python train.py ...
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SEMSEG_PLATFORM"])

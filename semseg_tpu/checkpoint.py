@@ -1,0 +1,129 @@
+"""Checkpoint save/restore (orbax) + torch-checkpoint interop.
+
+The reference saves three files per epoch — ``encoder_epoch_N.pth``,
+``decoder_epoch_N.pth``, ``history_epoch_N.pth`` (``/root/reference/
+train.py:74-89``) — and does NOT checkpoint optimizer state (SURVEY.md §5).
+This framework checkpoints the FULL train state (params, batch_stats,
+optimizer state, step) with orbax, plus the history dict as JSON, so resume
+is exact. Weight paths in configs may point at either:
+
+* a native orbax checkpoint directory (``epoch_N/``), or
+* a reference torch ``.pth`` pair, converted on the fly via
+  ``semseg_tpu.models.convert``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_train_state(ckpt_dir: str, epoch: int, state, history: Optional[dict] = None):
+    """Save params/batch_stats/opt_state/step under ``ckpt_dir/epoch_N``."""
+    path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    if history is not None:
+        with open(os.path.join(ckpt_dir, f"history_epoch_{epoch}.json"), "w") as f:
+            json.dump(history, f)
+
+
+def restore_train_state(ckpt_dir: str, epoch: int, state):
+    """Restore a full TrainState saved by ``save_train_state``."""
+    path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=template)
+    return state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def save_variables(path: str, variables):
+    """Save inference variables ({'params', 'batch_stats'}) standalone."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), dict(variables), force=True)
+
+
+def restore_tree(path: str):
+    """Restore a checkpoint as host numpy arrays without a template."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+
+
+def restore_variables(path: str, variables_template):
+    """Restore inference variables from either a standalone variables
+    checkpoint or a full train-state checkpoint directory."""
+    restored = restore_tree(path)
+    if "params" not in restored:
+        raise ValueError(f"No params in checkpoint {path}")
+    out = dict(variables_template)
+    out["params"] = restored["params"]
+    if "batch_stats" in restored:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
+def load_weights(
+    variables,
+    *,
+    arch_encoder: str,
+    arch_decoder: str,
+    weights_encoder: str = "",
+    weights_decoder: str = "",
+):
+    """Load encoder/decoder weights from native or torch checkpoints.
+
+    Mirrors the reference builders' ``weights`` handling
+    (models.py:106-109, 153-156).
+    """
+    from semseg_tpu.models.convert import convert_checkpoints, load_torch_checkpoint
+
+    enc_state = dec_state = None
+    for which, path in (("enc", weights_encoder), ("dec", weights_decoder)):
+        if not path:
+            continue
+        if os.path.isdir(path):
+            variables = restore_variables(path, variables)
+        elif path.endswith((".pth", ".pth.tar", ".pt")):
+            state = load_torch_checkpoint(path)
+            if which == "enc":
+                enc_state = state
+            else:
+                dec_state = state
+        else:
+            raise ValueError(f"Unrecognized checkpoint: {path!r}")
+    if enc_state is not None or dec_state is not None:
+        variables = convert_checkpoints(
+            variables,
+            arch_encoder=arch_encoder,
+            arch_decoder=arch_decoder,
+            encoder_state=enc_state,
+            decoder_state=dec_state,
+        )
+    return variables

@@ -1,0 +1,192 @@
+"""Evaluation CLI — counterpart of ``/root/reference/eval.py`` and
+``eval_multipro.py``.
+
+Multi-scale TTA over the ADE20K val set with mIoU / pixel-accuracy
+reporting. With multiple devices the val list is dispatched round-robin
+across per-device inference engines (threads + async dispatch replace the
+reference's one-process-per-GPU + result queue, eval_multipro.py:84-155).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.checkpoint import load_weights
+from semseg_tpu.config import cfg
+from semseg_tpu.data import ValDataset
+from semseg_tpu.data.loader import EvalLoader
+from semseg_tpu.engine import InferenceEngine, output_stride_for
+from semseg_tpu.models import ModelBuilder, init_variables
+from semseg_tpu.utils import (
+    AverageMeter,
+    accuracy,
+    colorEncode,
+    intersectionAndUnion,
+    load_class_names,
+    setup_logger,
+)
+
+
+def visualize_result(item, pred, save_dir):
+    from PIL import Image
+
+    img = item["img_ori"]
+    seg = item["seg_label"][0]
+    seg_color = colorEncode(seg, mode="RGB")
+    pred_color = colorEncode(pred, mode="RGB")
+    im_vis = np.concatenate((img, seg_color, pred_color), axis=1).astype(np.uint8)
+    img_name = os.path.basename(item["info"])
+    os.makedirs(save_dir, exist_ok=True)
+    Image.fromarray(im_vis).save(
+        os.path.join(save_dir, img_name.replace(".jpg", ".png"))
+    )
+
+
+def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
+    acc_meter = AverageMeter()
+    iou_meter_inter = np.zeros(cfg.DATASET.num_class, np.float64)
+    iou_meter_union = np.zeros(cfg.DATASET.num_class, np.float64)
+    time_meter = AverageMeter()
+    lock = threading.Lock()
+
+    items = list(loader)
+    n_eng = len(engines)
+
+    def run_shard(eng_idx):
+        nonlocal iou_meter_inter, iou_meter_union
+        engine = engines[eng_idx]
+        for idx in range(eng_idx, len(items), n_eng):
+            item = items[idx]
+            seg_label = np.asarray(item["seg_label"][0])
+            tic = time.perf_counter()
+            pred = engine.predict(item["img_data"], seg_label.shape)
+            elapsed = time.perf_counter() - tic
+
+            acc, pix = accuracy(pred, seg_label)
+            inter, union = intersectionAndUnion(
+                pred, seg_label, cfg.DATASET.num_class
+            )
+            with lock:
+                acc_meter.update(acc, pix)
+                iou_meter_inter += inter
+                iou_meter_union += union
+                time_meter.update(elapsed)
+            if visualize:
+                visualize_result(item, pred, vis_dir)
+
+    errors = []
+
+    def guarded(i):
+        try:
+            run_shard(i)
+        except Exception as e:  # propagate worker failures to the caller
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=guarded, args=(i,)) for i in range(n_eng)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+    iou = iou_meter_inter / (iou_meter_union + 1e-10)
+    names = load_class_names()
+    for i, class_iou in enumerate(iou):
+        logger.info(f"class [{i}], IoU: {class_iou:.4f}  ({names[i + 1]})")
+    miou = iou.mean()
+    logger.info(
+        f"[Eval Summary]:\nMean IoU: {miou:.4f}, "
+        f"Accuracy: {acc_meter.average() * 100:.2f}%, "
+        f"Inference Time: {time_meter.average():.4f}s"
+    )
+    return miou, acc_meter.average()
+
+
+def build_engines(cfg, num_devices=1, exact=False):
+    model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
+    variables = init_variables(
+        model, image_size=(cfg.DATASET.padding_constant * 8,) * 2
+    )
+    variables = load_weights(
+        dict(variables),
+        arch_encoder=cfg.MODEL.arch_encoder,
+        arch_decoder=cfg.MODEL.arch_decoder,
+        weights_encoder=cfg.MODEL.weights_encoder,
+        weights_decoder=cfg.MODEL.weights_decoder,
+    )
+    devices = jax.devices()[: max(1, num_devices)]
+    engines = []
+    for d in devices:
+        dev_vars = jax.device_put(variables, d)
+        engines.append(
+            InferenceEngine(
+                model,
+                dev_vars,
+                num_class=cfg.DATASET.num_class,
+                output_stride=output_stride_for(cfg),
+                bucket_step=cfg.TPU.bucket_step,
+                exact=exact,
+            )
+        )
+    return engines
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="semseg_tpu evaluation")
+    parser.add_argument("--cfg", default="config/ade20k-resnet50dilated-ppm_deepsup.yaml")
+    parser.add_argument("--devices", type=int, default=1, help="eval devices")
+    parser.add_argument("--gpu", default=None, help="reference CLI parity")
+    parser.add_argument("--exact", action="store_true",
+                        help="bit-parity mode: no shape bucketing (slow on TPU)")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args(argv)
+
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    # Reference checkpoint name convention (eval.py:183-188).
+    if cfg.VAL.checkpoint and not cfg.MODEL.weights_encoder:
+        enc = os.path.join(cfg.DIR, "encoder_" + cfg.VAL.checkpoint)
+        dec = os.path.join(cfg.DIR, "decoder_" + cfg.VAL.checkpoint)
+        if os.path.exists(enc):
+            cfg.MODEL.weights_encoder = enc
+            cfg.MODEL.weights_decoder = dec
+        else:
+            native = os.path.join(
+                cfg.DIR, cfg.VAL.checkpoint.replace(".pth", "")
+            )
+            if os.path.isdir(native):
+                cfg.MODEL.weights_encoder = native
+
+    logger = setup_logger()
+    engines = build_engines(cfg, args.devices, exact=args.exact)
+
+    dataset = ValDataset(
+        cfg.DATASET.root_dataset, cfg.DATASET.list_val, cfg.DATASET
+    )
+    loader = EvalLoader(dataset, num_workers=5, prefetch=8)
+    evaluate(
+        engines,
+        loader,
+        cfg,
+        logger,
+        visualize=cfg.VAL.visualize,
+        vis_dir=os.path.join(cfg.DIR, "result"),
+    )
+    logger.info("Evaluation Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Training CLI — the counterpart of ``/root/reference/train.py``.
+
+Usage (mirrors the reference):
+
+    python train.py --cfg config/ade20k-resnet50dilated-ppm_deepsup.yaml \
+        [--devices N] [TRAIN.num_epoch 20 ...]
+
+One jitted train step over a data-parallel mesh replaces the reference's
+DataParallel + SyncBN thread machinery; checkpoints are orbax directories
+(full train state) written per epoch into ``cfg.DIR``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.checkpoint import load_weights, restore_train_state, save_train_state
+from semseg_tpu.config import cfg
+from semseg_tpu.data import TrainDataset, TrainLoader
+from semseg_tpu.models import ModelBuilder, init_variables
+from semseg_tpu.parallel import (
+    create_train_state,
+    current_lrs,
+    jitted_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from semseg_tpu.utils import AverageMeter, setup_logger
+
+
+def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logger):
+    batch_time = AverageMeter()
+    data_time = AverageMeter()
+    ave_loss = AverageMeter()
+    ave_acc = AverageMeter()
+    rng = jax.random.PRNGKey(cfg.TRAIN.seed + epoch)
+
+    tic = time.time()
+    for i in range(cfg.TRAIN.epoch_iters):
+        batch = next(loader_iter)
+        data_time.update(time.time() - tic)
+
+        state, metrics = step_fn(state, shard_batch(mesh, batch), rng)
+        if (i + 1) % cfg.TRAIN.disp_iter == 0 or i == 0:
+            # Sync only when logging; the step itself stays async-dispatched.
+            loss = float(metrics["loss"])
+            acc = float(metrics["acc"])
+            ave_loss.update(loss)
+            ave_acc.update(acc * 100)
+        batch_time.update(time.time() - tic)
+        tic = time.time()
+
+        if (i + 1) % cfg.TRAIN.disp_iter == 0:
+            step_global = int(epoch * cfg.TRAIN.epoch_iters + i)
+            lr_enc, lr_dec = current_lrs(cfg, step_global)
+            logger.info(
+                f"Epoch: [{epoch + 1}][{i + 1}/{cfg.TRAIN.epoch_iters}], "
+                f"Time: {batch_time.average():.2f}, Data: {data_time.average():.2f}, "
+                f"lr_encoder: {lr_enc:.6f}, lr_decoder: {lr_dec:.6f}, "
+                f"Accuracy: {ave_acc.average():4.2f}, Loss: {ave_loss.average():.6f}"
+            )
+            history["train"]["epoch"].append(
+                epoch + (i + 1) / cfg.TRAIN.epoch_iters
+            )
+            history["train"]["loss"].append(ave_loss.value())
+            history["train"]["acc"].append(ave_acc.value())
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="semseg_tpu training")
+    parser.add_argument("--cfg", default="config/ade20k-resnet50dilated-ppm_deepsup.yaml")
+    parser.add_argument(
+        "--devices", type=int, default=0, help="data-parallel devices (0 = all)"
+    )
+    parser.add_argument("--gpus", default=None, help="accepted for reference CLI parity")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = parser.parse_args(argv)
+
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    logger = setup_logger()
+    logger.info(f"Loaded configuration file {args.cfg}")
+
+    os.makedirs(cfg.DIR, exist_ok=True)
+    with open(os.path.join(cfg.DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    np.random.seed(cfg.TRAIN.seed)
+
+    mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
+    n_dev = mesh.devices.size
+    global_batch = cfg.TRAIN.batch_size_per_gpu * n_dev
+    logger.info(f"Mesh: {n_dev} device(s); global batch {global_batch}")
+
+    dtype = jnp.dtype(cfg.TPU.compute_dtype)
+    model = ModelBuilder.build_model(cfg, dtype=dtype)
+    variables = init_variables(
+        model,
+        seed=cfg.TRAIN.seed,
+        image_size=(cfg.DATASET.padding_constant * 8,) * 2,
+    )
+    variables = load_weights(
+        dict(variables),
+        arch_encoder=cfg.MODEL.arch_encoder,
+        arch_decoder=cfg.MODEL.arch_decoder,
+        weights_encoder=cfg.MODEL.weights_encoder,
+        weights_decoder=cfg.MODEL.weights_decoder,
+    )
+    state = create_train_state(cfg, model, variables)
+    if cfg.TRAIN.start_epoch > 0:
+        state = restore_train_state(cfg.DIR, cfg.TRAIN.start_epoch, state)
+        logger.info(f"Resumed from epoch {cfg.TRAIN.start_epoch}")
+    state = replicate_state(mesh, state)
+
+    loader = TrainLoader(
+        lambda worker_seed: TrainDataset(
+            cfg.DATASET.root_dataset,
+            cfg.DATASET.list_train,
+            cfg.DATASET,
+            batch_per_gpu=global_batch,
+            seed=cfg.TRAIN.seed * 1000 + worker_seed,
+            bucket_step=cfg.TPU.bucket_step,
+        ),
+        num_workers=cfg.TRAIN.workers,
+        prefetch=cfg.TPU.prefetch * 4,
+    )
+    loader_iter = iter(loader)
+    step_fn = jitted_train_step()
+
+    history = {"train": {"epoch": [], "loss": [], "acc": []}}
+    for epoch in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
+        state = train_one_epoch(
+            step_fn, state, loader_iter, mesh, cfg, epoch, history, logger
+        )
+        save_train_state(cfg.DIR, epoch + 1, state, history)
+        logger.info(f"Saved checkpoint epoch_{epoch + 1}")
+
+    loader.close()
+    logger.info("Training Done!")
+
+
+if __name__ == "__main__":
+    main()

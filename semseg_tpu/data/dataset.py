@@ -1,0 +1,239 @@
+"""ADE20K dataset pipeline (host-side, NHWC).
+
+Reproduces the semantics of ``/root/reference/mit_semseg/dataset.py`` with a
+TPU-friendly structure:
+
+* ``TrainDataset`` — the reference's signature dynamic batching
+  (dataset.py:70-203): samples are binned by aspect ratio (h>w vs h<=w,
+  :85-108), each device batch picks one random short-side from ``imgSizes``,
+  every sample keeps its own aspect-preserving scale, and the batch is
+  zero-padded to the max rounded up to ``padding_constant``. Labels are
+  nearest-downsampled by ``segm_downsampling_rate`` with the -1 shift
+  (padding therefore becomes ignore). Differences from the reference,
+  deliberate:
+    - an explicit, seedable ``np.random.Generator`` replaces the
+      worker-local "fake length + first-index seeding" trick
+      (dataset.py:110-115) — iteration is an honest infinite stream;
+    - batch H/W can additionally be rounded up to a ``bucket_step`` lattice
+      so a jit-compiled step sees a bounded set of shapes (padding is
+      ignore-labeled, so the loss is unaffected; the reference zero-pads
+      images the same way).
+* ``ValDataset`` / ``TestDataset`` — per-image multi-scale pyramids
+  (dataset.py:206-296): for each short-side in ``imgSizes``, the image is
+  **resized** (not padded — a small aspect distortion, exactly like the
+  reference, :232-236) to dimensions rounded up to ``padding_constant``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .transforms import (
+    img_transform,
+    imresize,
+    round2nearest_multiple,
+    scale_for,
+    segm_transform,
+)
+
+
+def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
+    """Parse a .odgt manifest (one JSON record per line, dataset.py:38-51)."""
+    if isinstance(odgt, list):
+        samples = list(odgt)
+    else:
+        with open(odgt) as f:
+            samples = [json.loads(line.rstrip()) for line in f if line.strip()]
+    if max_sample > 0:
+        samples = samples[:max_sample]
+    if start_idx >= 0 and end_idx >= 0:
+        samples = samples[start_idx:end_idx]
+    assert samples, "empty sample list"
+    return samples
+
+
+class BaseDataset:
+    def __init__(self, odgt, opt, **kwargs):
+        self.imgSizes = opt.imgSizes
+        self.imgMaxSize = opt.imgMaxSize
+        self.padding_constant = opt.padding_constant
+        self.list_sample = parse_odgt(odgt, **kwargs)
+        self.num_sample = len(self.list_sample)
+
+    def multi_scale_pyramid(self, img: Image.Image) -> List[np.ndarray]:
+        """Per-scale resized+normalized copies, each (1, H, W, 3) float32."""
+        ori_width, ori_height = img.size
+        sizes = (
+            self.imgSizes
+            if isinstance(self.imgSizes, (list, tuple))
+            else (self.imgSizes,)
+        )
+        out = []
+        for short_size in sizes:
+            scale = scale_for(ori_height, ori_width, short_size, self.imgMaxSize)
+            target_h = round2nearest_multiple(
+                int(ori_height * scale), self.padding_constant
+            )
+            target_w = round2nearest_multiple(
+                int(ori_width * scale), self.padding_constant
+            )
+            resized = imresize(img, (target_w, target_h), interp="bilinear")
+            out.append(img_transform(resized)[None])
+        return out
+
+
+class TrainDataset(BaseDataset):
+    def __init__(
+        self,
+        root_dataset,
+        odgt,
+        opt,
+        batch_per_gpu=1,
+        *,
+        seed: int = 304,
+        bucket_step: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(odgt, opt, **kwargs)
+        self.root_dataset = root_dataset
+        self.segm_downsampling_rate = opt.segm_downsampling_rate
+        self.batch_per_gpu = batch_per_gpu
+        self.bucket_step = max(bucket_step or 0, self.padding_constant)
+        assert self.padding_constant >= self.segm_downsampling_rate
+        assert self.bucket_step % self.padding_constant == 0 or bucket_step is None
+
+        self.rng = np.random.default_rng(seed)
+        self._order = self.rng.permutation(self.num_sample)
+        self._cursor = 0
+        self._bins = ([], [])  # h > w | h <= w
+
+    def __len__(self):
+        return self.num_sample
+
+    def _next_record(self):
+        rec = self.list_sample[self._order[self._cursor]]
+        self._cursor += 1
+        if self._cursor >= self.num_sample:
+            self._cursor = 0
+            self._order = self.rng.permutation(self.num_sample)
+        return rec
+
+    def _get_sub_batch(self):
+        """Aspect-ratio-grouped batch assembly (dataset.py:85-108)."""
+        while True:
+            rec = self._next_record()
+            bin_idx = 0 if rec["height"] > rec["width"] else 1
+            self._bins[bin_idx].append(rec)
+            if len(self._bins[bin_idx]) == self.batch_per_gpu:
+                batch = list(self._bins[bin_idx])
+                self._bins[bin_idx].clear()
+                return batch
+
+    def next_batch(self) -> dict:
+        """Build one device batch: {'img_data': NHWC f32, 'seg_label': NHW i32}."""
+        records = self._get_sub_batch()
+        sizes = (
+            self.imgSizes
+            if isinstance(self.imgSizes, (list, tuple))
+            else (self.imgSizes,)
+        )
+        short_size = int(self.rng.choice(sizes))
+
+        widths = np.zeros(self.batch_per_gpu, np.int32)
+        heights = np.zeros(self.batch_per_gpu, np.int32)
+        for i, rec in enumerate(records):
+            s = scale_for(rec["height"], rec["width"], short_size, self.imgMaxSize)
+            widths[i] = int(rec["width"] * s)
+            heights[i] = int(rec["height"] * s)
+
+        batch_w = int(round2nearest_multiple(widths.max(), self.bucket_step))
+        batch_h = int(round2nearest_multiple(heights.max(), self.bucket_step))
+        rate = self.segm_downsampling_rate
+
+        images = np.zeros((self.batch_per_gpu, batch_h, batch_w, 3), np.float32)
+        segms = np.full(
+            (self.batch_per_gpu, batch_h // rate, batch_w // rate), -1, np.int32
+        )
+
+        for i, rec in enumerate(records):
+            img = Image.open(
+                os.path.join(self.root_dataset, rec["fpath_img"])
+            ).convert("RGB")
+            segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+            assert segm.mode == "L"
+            assert img.size == segm.size
+
+            if self.rng.integers(2):
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
+
+            img = imresize(img, (widths[i], heights[i]), interp="bilinear")
+            segm = imresize(segm, (widths[i], heights[i]), interp="nearest")
+
+            # Label downsample with round-up padding (dataset.py:176-184):
+            # pad with 0, which the -1 shift turns into ignore.
+            sr_w = round2nearest_multiple(segm.size[0], rate)
+            sr_h = round2nearest_multiple(segm.size[1], rate)
+            segm_rounded = Image.new("L", (sr_w, sr_h), 0)
+            segm_rounded.paste(segm, (0, 0))
+            segm = imresize(segm_rounded, (sr_w // rate, sr_h // rate), "nearest")
+
+            arr = img_transform(img)
+            lab = segm_transform(segm)
+            images[i, : arr.shape[0], : arr.shape[1]] = arr
+            segms[i, : lab.shape[0], : lab.shape[1]] = lab
+
+        return {"img_data": images, "seg_label": segms}
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            yield self.next_batch()
+
+
+class ValDataset(BaseDataset):
+    def __init__(self, root_dataset, odgt, opt, **kwargs):
+        super().__init__(odgt, opt, **kwargs)
+        self.root_dataset = root_dataset
+
+    def __len__(self):
+        return self.num_sample
+
+    def __getitem__(self, index) -> dict:
+        rec = self.list_sample[index]
+        img = Image.open(
+            os.path.join(self.root_dataset, rec["fpath_img"])
+        ).convert("RGB")
+        segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+        assert segm.mode == "L"
+        assert img.size == segm.size
+
+        return {
+            "img_ori": np.asarray(img),
+            "img_data": self.multi_scale_pyramid(img),
+            "seg_label": segm_transform(segm)[None],
+            "info": rec["fpath_img"],
+        }
+
+
+class TestDataset(BaseDataset):
+    __test__ = False  # not a pytest class
+
+    def __init__(self, odgt, opt, **kwargs):
+        super().__init__(odgt, opt, **kwargs)
+
+    def __len__(self):
+        return self.num_sample
+
+    def __getitem__(self, index) -> dict:
+        rec = self.list_sample[index]
+        img = Image.open(rec["fpath_img"]).convert("RGB")
+        return {
+            "img_ori": np.asarray(img),
+            "img_data": self.multi_scale_pyramid(img),
+            "info": rec["fpath_img"],
+        }

@@ -99,6 +99,10 @@ class C1DeepSup(nn.Module):
         x = _final_conv(self.num_class, dtype=self.dtype, name="conv_last")(x)
         if seg_size is not None:
             return _finish(x, seg_size)
+        if not train:
+            # Logits-only inference (bucketed eval engine): the reference
+            # never runs the deep-supervision branch outside training.
+            return x.astype(jnp.float32)
 
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(
             conv_out[-2], train=train
@@ -163,6 +167,8 @@ class PPMDeepsup(PPM):
         x = self._trunk(conv_out[-1], train)
         if seg_size is not None:
             return _finish(x, seg_size)
+        if not train:
+            return x.astype(jnp.float32)
 
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(

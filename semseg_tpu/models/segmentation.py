@@ -42,6 +42,10 @@ class SegmentationModel(nn.Module):
         feats = self.encoder(img, train=train)
         if seg_size is not None:
             return self.decoder(feats, seg_size, train=False)
+        if seg_label is None:
+            # Logits-only inference (bucketed eval engine): raw logits at
+            # decoder resolution, no loss.
+            return self.decoder(feats, train=False)
 
         out = self.decoder(feats, train=train)
         if self.deep_sup_scale is not None:

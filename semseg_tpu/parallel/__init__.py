@@ -1,0 +1,29 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+from .train_step import (
+    TrainState,
+    create_train_state,
+    current_lrs,
+    jitted_train_step,
+    make_optimizer,
+    train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "replicate_state",
+    "TrainState",
+    "create_train_state",
+    "train_step",
+    "jitted_train_step",
+    "make_optimizer",
+    "current_lrs",
+]

@@ -1,0 +1,47 @@
+"""Device mesh and sharding helpers.
+
+The reference's data parallelism is a single-process thread-per-GPU
+``UserScatteredDataParallel`` (``/root/reference/mit_semseg/lib/nn/parallel/
+data_parallel.py:53-62``) with pre-scattered batches. On TPU this collapses
+into GSPMD: one ``jax.sharding.Mesh`` over the chips, the batch dimension
+sharded along the ``data`` axis, parameters replicated. XLA inserts the
+gradient and batch-norm collectives over ICI automatically; no scatter /
+gather / replication-callback code exists at all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim across the ``data`` axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the batch dim sharded over the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,158 @@
+"""Train-step tests: optimizer semantics vs torch SGD, sharded execution."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.config import cfg
+from semseg_tpu.models import ModelBuilder, init_variables
+from semseg_tpu.parallel import (
+    create_train_state,
+    jitted_train_step,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+    train_step,
+)
+from semseg_tpu.parallel.train_step import current_lrs, decay_mask, poly_schedule
+
+
+def small_cfg():
+    c = cfg.clone()
+    c.MODEL.arch_encoder = "resnet18dilated"
+    c.MODEL.arch_decoder = "ppm_deepsup"
+    c.MODEL.fc_dim = 512
+    c.TRAIN.num_epoch = 2
+    c.TRAIN.epoch_iters = 10
+    return c
+
+
+@pytest.fixture(scope="module")
+def setup():
+    c = small_cfg()
+    model = ModelBuilder.build_model(c, dtype=jnp.float32)
+    variables = init_variables(model, seed=0)
+    state = create_train_state(c, model, variables)
+    return c, model, state
+
+
+def make_batch(rng, n=2, hw=(64, 64), ds=8):
+    return {
+        "img_data": rng.randn(n, hw[0], hw[1], 3).astype(np.float32),
+        "seg_label": rng.randint(-1, 150, (n, hw[0] // ds, hw[1] // ds)).astype(
+            np.int32
+        ),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_repeated_batch(self, setup, rng):
+        c, model, state = setup
+        batch = make_batch(rng)
+        step = jax.jit(train_step)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch, key)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 5
+
+    def test_batch_stats_update(self, setup, rng):
+        c, model, state = setup
+        batch = make_batch(rng)
+        new_state, _ = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+        before = jax.tree.leaves(state.batch_stats)
+        after = jax.tree.leaves(new_state.batch_stats)
+        changed = sum(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, after)
+        )
+        assert changed > 0
+
+    def test_sharded_matches_single_device(self, setup, rng):
+        """DP over the 8-device mesh must equal single-device training."""
+        c, model, state = setup
+        batch = make_batch(rng, n=8)
+        key = jax.random.PRNGKey(1)
+
+        step = jax.jit(train_step)
+        mesh = make_mesh(8)
+
+        # One step: loss identical, params equal up to f32 cross-device
+        # reduction-order noise.
+        s1, m1 = step(state, batch, key)
+        s2, m2 = step(replicate_state(mesh, state), shard_batch(mesh, batch), key)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=0
+            )
+
+        # Multi-step: the tiny per-step noise compounds chaotically, so only
+        # the loss trajectory is compared, loosely.
+        l1, l2 = [], []
+        for _ in range(2):
+            s1, m1 = step(s1, batch, key)
+            s2, m2 = step(s2, shard_batch(mesh, batch), key)
+            l1.append(float(m1["loss"]))
+            l2.append(float(m2["loss"]))
+        np.testing.assert_allclose(l1, l2, rtol=5e-3)
+
+
+class TestOptimizerSemantics:
+    def test_poly_schedule(self):
+        sched = poly_schedule(0.02, 100, 0.9)
+        assert float(sched(0)) == pytest.approx(0.02)
+        assert float(sched(50)) == pytest.approx(0.02 * 0.5 ** 0.9)
+        assert float(sched(100)) == pytest.approx(0.0)
+
+    def test_current_lrs(self):
+        c = small_cfg()
+        lr_e, lr_d = current_lrs(c, 10)
+        assert lr_e == pytest.approx(0.02 * (1 - 10 / 20) ** 0.9)
+        assert lr_e == lr_d
+
+    def test_decay_mask_excludes_bn_and_bias(self, setup):
+        c, model, state = setup
+        mask = decay_mask(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        for path, decayed in flat:
+            name = path[-1].key
+            if name == "kernel":
+                assert decayed
+            else:
+                assert not decayed, path
+
+    def test_matches_torch_sgd_on_toy_problem(self):
+        """optax chain(decay, sgd) == torch.optim.SGD(momentum, weight_decay)."""
+        import optax
+
+        w0 = np.array([1.5, -2.0, 0.5], np.float32)
+        lr, mu, wd = 0.1, 0.9, 1e-2
+
+        wt = torch.tensor(w0, requires_grad=True)
+        opt = torch.optim.SGD([wt], lr=lr, momentum=mu, weight_decay=wd)
+        for _ in range(5):
+            opt.zero_grad()
+            loss = (wt ** 2).sum()
+            loss.backward()
+            opt.step()
+
+        tx = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.sgd(learning_rate=lr, momentum=mu),
+        )
+        wj = jnp.asarray(w0)
+        opt_state = tx.init(wj)
+        for _ in range(5):
+            grads = jax.grad(lambda w: (w ** 2).sum())(wj)
+            updates, opt_state = tx.update(grads, opt_state, wj)
+            wj = optax.apply_updates(wj, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(wj), wt.detach().numpy(), atol=1e-6
+        )
