@@ -174,7 +174,10 @@ def main(argv=None):
     engines = build_engines(cfg, args.devices, exact=args.exact)
 
     dataset = ValDataset(
-        cfg.DATASET.root_dataset, cfg.DATASET.list_val, cfg.DATASET
+        cfg.DATASET.root_dataset,
+        cfg.DATASET.list_val,
+        cfg.DATASET,
+        device_preprocess=not args.exact,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
     evaluate(

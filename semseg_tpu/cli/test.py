@@ -83,7 +83,7 @@ def main(argv=None):
     logger = setup_logger()
     engine = build_engines(cfg, 1, exact=args.exact)[0]
 
-    dataset = TestDataset(img_list, cfg.DATASET)
+    dataset = TestDataset(img_list, cfg.DATASET, device_preprocess=not args.exact)
     for item in EvalLoader(dataset, num_workers=2, prefetch=4):
         seg_size = item["img_ori"].shape[:2]
         pred = engine.predict(item["img_data"], seg_size)

@@ -65,8 +65,13 @@ class BaseDataset:
         self.list_sample = parse_odgt(odgt, **kwargs)
         self.num_sample = len(self.list_sample)
 
-    def multi_scale_pyramid(self, img: Image.Image) -> List[np.ndarray]:
-        """Per-scale resized+normalized copies, each (1, H, W, 3) float32."""
+    def multi_scale_pyramid(self, img: Image.Image, *, raw: bool = False) -> List[np.ndarray]:
+        """Per-scale resized copies, each (1, H, W, 3).
+
+        ``raw=False``: normalized float32 (reference parity).
+        ``raw=True``: uint8 — normalization happens on device inside the
+        inference engine's jitted forward (4x smaller host→device transfer).
+        """
         ori_width, ori_height = img.size
         sizes = (
             self.imgSizes
@@ -83,7 +88,10 @@ class BaseDataset:
                 int(ori_width * scale), self.padding_constant
             )
             resized = imresize(img, (target_w, target_h), interp="bilinear")
-            out.append(img_transform(resized)[None])
+            if raw:
+                out.append(np.asarray(resized, dtype=np.uint8)[None])
+            else:
+                out.append(img_transform(resized)[None])
         return out
 
 
@@ -196,9 +204,10 @@ class TrainDataset(BaseDataset):
 
 
 class ValDataset(BaseDataset):
-    def __init__(self, root_dataset, odgt, opt, **kwargs):
+    def __init__(self, root_dataset, odgt, opt, *, device_preprocess=False, **kwargs):
         super().__init__(odgt, opt, **kwargs)
         self.root_dataset = root_dataset
+        self.device_preprocess = device_preprocess
 
     def __len__(self):
         return self.num_sample
@@ -214,7 +223,7 @@ class ValDataset(BaseDataset):
 
         return {
             "img_ori": np.asarray(img),
-            "img_data": self.multi_scale_pyramid(img),
+            "img_data": self.multi_scale_pyramid(img, raw=self.device_preprocess),
             "seg_label": segm_transform(segm)[None],
             "info": rec["fpath_img"],
         }
@@ -223,8 +232,9 @@ class ValDataset(BaseDataset):
 class TestDataset(BaseDataset):
     __test__ = False  # not a pytest class
 
-    def __init__(self, odgt, opt, **kwargs):
+    def __init__(self, odgt, opt, *, device_preprocess=False, **kwargs):
         super().__init__(odgt, opt, **kwargs)
+        self.device_preprocess = device_preprocess
 
     def __len__(self):
         return self.num_sample
@@ -234,6 +244,6 @@ class TestDataset(BaseDataset):
         img = Image.open(rec["fpath_img"]).convert("RGB")
         return {
             "img_ori": np.asarray(img),
-            "img_data": self.multi_scale_pyramid(img),
+            "img_data": self.multi_scale_pyramid(img, raw=self.device_preprocess),
             "info": rec["fpath_img"],
         }

@@ -90,6 +90,28 @@ class InferenceEngine:
         return run
 
     @functools.cached_property
+    def _logits_raw_fn(self):
+        """uint8 path: on-device normalize + valid-region mask, fused by XLA
+        into the first conv. The image arrives padded as uint8 (4x smaller
+        host→device transfer); (h, w) are dynamic scalars, so one compile
+        serves every image in the same bucket."""
+        from semseg_tpu.data.transforms import MEAN, STD
+
+        mean = jnp.asarray(MEAN)
+        std = jnp.asarray(STD)
+
+        @jax.jit
+        def run(variables, img_u8, h, w):
+            x = img_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            rows = jnp.arange(img_u8.shape[1])[None, :, None, None] < h
+            cols = jnp.arange(img_u8.shape[2])[None, None, :, None] < w
+            x = jnp.where(rows & cols, x, 0.0)
+            return self.model.apply(variables, x, seg_size=None, train=False)
+
+        return run
+
+    @functools.cached_property
     def _exact_fn(self):
         @functools.partial(jax.jit, static_argnums=(2,))
         def run(variables, img, seg_size):
@@ -112,6 +134,10 @@ class InferenceEngine:
         acc = np.zeros((*seg_size, self.num_class), np.float32)
         for img in pyramid:
             if self.exact:
+                if img.dtype == np.uint8:
+                    from semseg_tpu.data.transforms import MEAN, STD
+
+                    img = ((img.astype(np.float32) / 255.0) - MEAN) / STD
                 probs = self._exact_fn(
                     self.variables, jnp.asarray(img), tuple(seg_size)
                 )
@@ -122,7 +148,11 @@ class InferenceEngine:
             ph, pw = _round_up(h, self.bucket_step), _round_up(w, self.bucket_step)
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-            logits = np.asarray(self._logits_fn(self.variables, jnp.asarray(img)))[0]
+            if img.dtype == np.uint8:
+                logits = self._logits_raw_fn(self.variables, jnp.asarray(img), h, w)
+            else:
+                logits = self._logits_fn(self.variables, jnp.asarray(img))
+            logits = np.asarray(logits)[0]
             os_ = self.output_stride
             valid_h = -(-h // os_)
             valid_w = -(-w // os_)

@@ -128,7 +128,10 @@ class ModelBuilder:
             else None
         )
         return SegmentationModel(
-            encoder=encoder, decoder=decoder, deep_sup_scale=deep_sup
+            encoder=encoder,
+            decoder=decoder,
+            deep_sup_scale=deep_sup,
+            fix_bn=bool(cfg.TRAIN.fix_bn) if "TRAIN" in cfg else False,
         )
 
 

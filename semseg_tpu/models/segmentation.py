@@ -37,8 +37,12 @@ class SegmentationModel(nn.Module):
     decoder: nn.Module
     deep_sup_scale: Optional[float] = None
     ignore_index: int = -1
+    # cfg.TRAIN.fix_bn: freeze BN statistics (and dropout) during training —
+    # the reference's `segmentation_module.train(not fix_bn)` (train.py:26).
+    fix_bn: bool = False
 
     def __call__(self, img, seg_label=None, seg_size=None, *, train: bool = False):
+        train = train and not self.fix_bn
         feats = self.encoder(img, train=train)
         if seg_size is not None:
             return self.decoder(feats, seg_size, train=False)

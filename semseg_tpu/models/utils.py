@@ -1,0 +1,43 @@
+"""Pretrained checkpoint downloader.
+
+Counterpart of ``/root/reference/mit_semseg/models/utils.py:10-18``: cache
+a URL into ``./pretrained/`` and return the local path. The published zoo
+lives at http://sceneparsing.csail.mit.edu/model/pytorch (README.md:12-13);
+ImageNet backbone weights at .../pretrained_resnet/ (resnet.py:11-15,
+mobilenet.py:17-19, hrnet.py:21-23, resnext.py:11-14). Downloads are
+converted on load via ``semseg_tpu.models.convert``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from urllib.parse import urlparse
+from urllib.request import urlretrieve
+
+PRETRAINED_URLS = {
+    "resnet18": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/resnet18-imagenet.pth",
+    "resnet50": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/resnet50-imagenet.pth",
+    "resnet101": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/resnet101-imagenet.pth",
+    "resnext101": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/resnext101-imagenet.pth",
+    "mobilenetv2": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/mobilenet_v2.pth.tar",
+    "hrnetv2": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/hrnetv2_w48-imagenet.pth",
+}
+
+ZOO_BASE = "http://sceneparsing.csail.mit.edu/model/pytorch"
+
+
+def load_url(url: str, model_dir: str = "./pretrained", map_location=None) -> str:
+    """Download-and-cache ``url``; returns the local file path.
+
+    Unlike the reference (which returns the torch-loaded dict), this returns
+    the path — feed it to ``semseg_tpu.checkpoint.load_weights``.
+    """
+    if not os.path.exists(model_dir):
+        os.makedirs(model_dir, exist_ok=True)
+    filename = os.path.basename(urlparse(url).path)
+    cached_file = os.path.join(model_dir, filename)
+    if not os.path.exists(cached_file):
+        sys.stderr.write(f'Downloading: "{url}" to {cached_file}\n')
+        urlretrieve(url, cached_file)
+    return cached_file

@@ -1,0 +1,149 @@
+"""Inference engine tests: bucketed mode vs exact reference computation,
+checkpoint round-trips, and fix_bn semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.config import cfg
+from semseg_tpu.engine import InferenceEngine
+from semseg_tpu.models import ModelBuilder, init_variables
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    c = cfg.clone()
+    c.MODEL.arch_encoder = "resnet18dilated"
+    c.MODEL.arch_decoder = "ppm_deepsup"
+    c.MODEL.fc_dim = 512
+    model = ModelBuilder.build_model(c, dtype=jnp.float32)
+    variables = init_variables(model, seed=0)
+    return model, variables
+
+
+def make_pyramid(rng, sizes=((96, 120), (72, 88))):
+    return [rng.randn(1, h, w, 3).astype(np.float32) * 0.5 for h, w in sizes]
+
+
+class TestEngine:
+    def test_exact_mode_averages_scales(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        engine = InferenceEngine(model, variables, exact=True)
+        pyr = make_pyramid(rng)
+        scores = engine.scores_for_pyramid(pyr, (100, 130))
+        assert scores.shape == (100, 130, 150)
+        np.testing.assert_allclose(scores.sum(-1), 1.0, atol=1e-4)
+
+    def test_bucketed_close_to_exact(self, model_and_vars, rng):
+        """Bucketed (pad + host resize) must closely track the exact path.
+
+        The zero-pad border perturbs features near the pad edge, so require
+        high argmax agreement rather than bitwise equality.
+        """
+        model, variables = model_and_vars
+        exact = InferenceEngine(model, variables, exact=True)
+        bucketed = InferenceEngine(
+            model, variables, output_stride=8, bucket_step=64
+        )
+        pyr = make_pyramid(rng, sizes=((96, 120),))
+        seg = (90, 115)
+        s_exact = exact.scores_for_pyramid(pyr, seg)
+        s_bucket = bucketed.scores_for_pyramid(pyr, seg)
+        # With random (uncalibrated) weights the 150-class probabilities are
+        # nearly flat (top prob ~0.06), so argmax is not a stable statistic;
+        # assert closeness at the probability level instead.
+        diff = np.abs(s_exact - s_bucket)
+        assert diff.mean() < 5e-3, diff.mean()
+        assert diff.max() < 0.15, diff.max()
+
+    def test_bucketed_no_pad_matches_exact(self, model_and_vars, rng):
+        """When the input already sits on the bucket lattice there is no
+        padding at all; bucketed must equal exact up to resize backend."""
+        model, variables = model_and_vars
+        exact = InferenceEngine(model, variables, exact=True)
+        bucketed = InferenceEngine(
+            model, variables, output_stride=8, bucket_step=8
+        )
+        pyr = [rng.randn(1, 64, 64, 3).astype(np.float32) * 0.5]
+        s_exact = exact.scores_for_pyramid(pyr, (64, 64))
+        s_bucket = bucketed.scores_for_pyramid(pyr, (64, 64))
+        np.testing.assert_allclose(s_bucket, s_exact, atol=2e-3)
+        assert (s_exact.argmax(-1) == s_bucket.argmax(-1)).mean() > 0.999
+
+
+class TestCheckpointRoundtrip:
+    def test_train_state_roundtrip(self, tmp_path, model_and_vars):
+        from semseg_tpu.parallel import create_train_state
+        from semseg_tpu.checkpoint import restore_train_state, save_train_state
+
+        c = cfg.clone()
+        c.MODEL.arch_encoder = "resnet18dilated"
+        c.MODEL.fc_dim = 512
+        model, variables = model_and_vars
+        state = create_train_state(c, model, variables)
+        state = state.replace(step=jnp.asarray(7, jnp.int32))
+        save_train_state(str(tmp_path), 3, state, {"train": {"loss": [1.0]}})
+
+        fresh = create_train_state(c, model, variables)
+        restored = restore_train_state(str(tmp_path), 3, fresh)
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert (tmp_path / "history_epoch_3.json").exists()
+
+    def test_variables_restore_from_train_state(self, tmp_path, model_and_vars):
+        from semseg_tpu.parallel import create_train_state
+        from semseg_tpu.checkpoint import restore_variables, save_train_state
+
+        c = cfg.clone()
+        c.MODEL.arch_encoder = "resnet18dilated"
+        c.MODEL.fc_dim = 512
+        model, variables = model_and_vars
+        state = create_train_state(c, model, variables)
+        save_train_state(str(tmp_path), 1, state)
+        out = restore_variables(str(tmp_path / "epoch_1"), dict(variables))
+        assert "params" in out and "batch_stats" in out
+        for a, b in zip(
+            jax.tree.leaves(variables["params"]), jax.tree.leaves(out["params"])
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFixBN:
+    def test_fix_bn_freezes_stats(self, rng):
+        c = cfg.clone()
+        c.MODEL.arch_encoder = "resnet18dilated"
+        c.MODEL.arch_decoder = "c1"
+        c.MODEL.fc_dim = 512
+        c.TRAIN.fix_bn = True
+        model = ModelBuilder.build_model(c, dtype=jnp.float32)
+        assert model.fix_bn
+        variables = init_variables(model)
+        img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        lab = jnp.zeros((1, 8, 8), jnp.int32)
+        (loss, acc), mutated = model.apply(
+            variables, img, seg_label=lab, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        for a, b in zip(
+            jax.tree.leaves(variables["batch_stats"]),
+            jax.tree.leaves(mutated["batch_stats"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDevicePreprocess:
+    def test_uint8_path_matches_float_path(self, model_and_vars):
+        """On-device normalize (uint8 input) == host-normalized input."""
+        from semseg_tpu.data.transforms import MEAN, STD
+
+        model, variables = model_and_vars
+        engine = InferenceEngine(model, variables, output_stride=8, bucket_step=32)
+        rng = np.random.RandomState(3)
+        u8 = rng.randint(0, 256, (1, 96, 120, 3), dtype=np.uint8)
+        f32 = ((u8.astype(np.float32) / 255.0) - MEAN.astype(np.float32)) / STD.astype(np.float32)
+        s_u8 = engine.scores_for_pyramid([u8], (90, 115))
+        s_f32 = engine.scores_for_pyramid([f32], (90, 115))
+        np.testing.assert_allclose(s_u8, s_f32, atol=2e-5)

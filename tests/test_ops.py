@@ -138,3 +138,16 @@ class TestLosses:
         valid = lab != -1
         expected = ((preds == lab) & valid).sum() / valid.sum()
         np.testing.assert_allclose(float(acc), expected, atol=1e-6)
+
+
+class TestPallasPyramidPool:
+    def test_matches_adaptive_pool_interpret(self, rng):
+        """Fused pallas pyramid pool == four adaptive_avg_pool2d calls."""
+        import jax.numpy as jnp
+        from semseg_tpu.ops.pallas.ppm_pool import pyramid_pool
+
+        x = jnp.asarray(rng.randn(2, 13, 17, 256).astype(np.float32))
+        outs = pyramid_pool(x, (1, 2, 3, 6), interpret=True)
+        for s, o in zip((1, 2, 3, 6), outs):
+            ref = ops.adaptive_avg_pool2d(x, s)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
