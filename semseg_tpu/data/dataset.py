@@ -42,6 +42,18 @@ from .transforms import (
 )
 
 
+def _native_ok() -> bool:
+    """Use the C++ fused preprocessing unless disabled via env."""
+    if os.environ.get("SEMSEG_NO_NATIVE"):
+        return False
+    try:
+        from semseg_tpu import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
 def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
     """Parse a .odgt manifest (one JSON record per line, dataset.py:38-51)."""
     if isinstance(odgt, list):
@@ -168,6 +180,7 @@ class TrainDataset(BaseDataset):
             (self.batch_per_gpu, batch_h // rate, batch_w // rate), -1, np.int32
         )
 
+        use_native = _native_ok()
         for i, rec in enumerate(records):
             img = Image.open(
                 os.path.join(self.root_dataset, rec["fpath_img"])
@@ -176,12 +189,42 @@ class TrainDataset(BaseDataset):
             assert segm.mode == "L"
             assert img.size == segm.size
 
-            if self.rng.integers(2):
+            flip = bool(self.rng.integers(2))
+            h_i, w_i = int(heights[i]), int(widths[i])
+
+            if use_native:
+                # Fused C++ path: bit-exact with the PIL path (Pillow
+                # fixed-point resampling reimplemented in
+                # semseg_tpu/native/preprocess.cpp), one pass each for
+                # resize+normalize and the label pipeline.
+                from semseg_tpu import native
+                from .transforms import MEAN, STD
+
+                img_arr = np.asarray(img, np.uint8)
+                seg_arr = np.asarray(segm, np.uint8)
+                if flip:
+                    img_arr = img_arr[:, ::-1]
+                    seg_arr = seg_arr[:, ::-1]
+                images[i, :h_i, :w_i] = native.preprocess(
+                    img_arr, (h_i, w_i), (h_i, w_i), MEAN, STD
+                )
+                seg_small = native.resize_nearest_u8(seg_arr, (h_i, w_i))
+                sr_h = round2nearest_multiple(h_i, rate)
+                sr_w = round2nearest_multiple(w_i, rate)
+                seg_pad = np.zeros((sr_h, sr_w), np.uint8)
+                seg_pad[:h_i, :w_i] = seg_small
+                lab = native.resize_nearest_u8(
+                    seg_pad, (sr_h // rate, sr_w // rate)
+                ).astype(np.int32) - 1
+                segms[i, : lab.shape[0], : lab.shape[1]] = lab
+                continue
+
+            if flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
                 segm = segm.transpose(Image.FLIP_LEFT_RIGHT)
 
-            img = imresize(img, (widths[i], heights[i]), interp="bilinear")
-            segm = imresize(segm, (widths[i], heights[i]), interp="nearest")
+            img = imresize(img, (w_i, h_i), interp="bilinear")
+            segm = imresize(segm, (w_i, h_i), interp="nearest")
 
             # Label downsample with round-up padding (dataset.py:176-184):
             # pad with 0, which the -1 shift turns into ignore.
