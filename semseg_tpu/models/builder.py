@@ -135,10 +135,36 @@ class ModelBuilder:
         )
 
 
-def init_variables(model: SegmentationModel, *, seed: int = 0, image_size=(64, 64)):
-    """Initialize parameters and batch statistics with a dummy forward."""
+def init_variables(
+    model: SegmentationModel,
+    *,
+    seed: int = 0,
+    image_size=(64, 64),
+    label_downsample: int = None,
+):
+    """Initialize parameters and batch statistics with a dummy forward.
+
+    ``label_downsample`` must equal the decoder's training output stride
+    (cfg.DATASET.segm_downsampling_rate: 8 for dilated+PPM/C1 configs, 4 for
+    UPerNet/HRNet); inferred from the decoder when omitted.
+    """
+    if label_downsample is None:
+        from . import decoders as dec
+
+        # UPerNet fuses at 1/4; HRNet's C1 head also sits at 1/4.
+        if isinstance(model.decoder, dec.UPerNet) or type(
+            model.encoder
+        ).__name__ == "HRNetV2":
+            label_downsample = 4
+        elif getattr(model.encoder, "dilate_scale", None) in (8, 16):
+            label_downsample = model.encoder.dilate_scale
+        else:
+            label_downsample = 32  # undilated resnet + C1/PPM head
     img = jnp.zeros((1, image_size[0], image_size[1], 3), jnp.float32)
-    label = jnp.zeros((1, image_size[0] // 8, image_size[1] // 8), jnp.int32)
+    label = jnp.zeros(
+        (1, image_size[0] // label_downsample, image_size[1] // label_downsample),
+        jnp.int32,
+    )
     return model.init(
         {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
         img,

@@ -1,0 +1,105 @@
+"""End-to-end CLI smoke tests (subprocess, CPU, synthetic mini-dataset).
+
+The de-facto equivalent of the reference's demo_test.sh operational test:
+train 2 epochs → checkpoint → resume → eval with the native checkpoint →
+test.py on a raw image.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def mini(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini")
+    rng = np.random.RandomState(0)
+    recs = []
+    os.makedirs(root / "img")
+    os.makedirs(root / "ann")
+    for i, (h, w) in enumerate([(60, 80), (90, 70), (64, 96), (80, 60)]):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            root / "img" / f"{i}.jpg"
+        )
+        Image.fromarray(rng.randint(0, 151, (h, w)).astype(np.uint8), "L").save(
+            root / "ann" / f"{i}.png"
+        )
+        recs.append(
+            {"fpath_img": f"img/{i}.jpg", "fpath_segm": f"ann/{i}.png",
+             "width": w, "height": h}
+        )
+    (root / "train.odgt").write_text("\n".join(json.dumps(r) for r in recs[:3]))
+    (root / "val.odgt").write_text(json.dumps(recs[3]))
+    return root
+
+
+def run_cli(script, *args, timeout=900):
+    env = dict(os.environ, SEMSEG_PLATFORM="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout + proc.stderr
+
+
+COMMON = [
+    "--cfg", "config/ade20k-mobilenetv2dilated-c1_deepsup.yaml",
+    "DATASET.imgSizes", "(48,64)",
+    "DATASET.imgMaxSize", "100",
+    "TPU.compute_dtype", "float32",
+]
+
+
+def test_train_eval_test_cycle(mini, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    data_opts = [
+        "DIR", ckpt,
+        "DATASET.root_dataset", str(mini),
+        "DATASET.list_train", str(mini / "train.odgt"),
+        "DATASET.list_val", str(mini / "val.odgt"),
+    ]
+    train_opts = [
+        "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+        "TRAIN.disp_iter", "1", "TRAIN.batch_size_per_gpu", "1",
+        "TRAIN.workers", "1",
+    ]
+
+    out = run_cli("train.py", "--devices", "1", *COMMON, *data_opts, *train_opts)
+    assert "Training Done!" in out
+    assert os.path.isdir(os.path.join(ckpt, "epoch_1"))
+    assert os.path.exists(os.path.join(ckpt, "config.yaml"))
+
+    # resume for one more epoch from the saved state
+    out = run_cli(
+        "train.py", "--devices", "1", *COMMON, *data_opts, *train_opts,
+        "TRAIN.start_epoch", "1", "TRAIN.num_epoch", "2",
+    )
+    assert "Resumed from epoch 1" in out
+    assert os.path.isdir(os.path.join(ckpt, "epoch_2"))
+
+    out = run_cli(
+        "eval.py", *COMMON, *data_opts, "VAL.checkpoint", "epoch_2.pth",
+    )
+    assert "Mean IoU" in out and "Evaluation Done!" in out
+
+    result_dir = str(tmp_path_factory.mktemp("result"))
+    out = run_cli(
+        "test.py", "--imgs", str(mini / "img" / "0.jpg"), *COMMON,
+        "DIR", ckpt, "TEST.checkpoint", "epoch_2.pth",
+        "TEST.result", result_dir,
+    )
+    assert "Inference done!" in out
+    assert os.path.exists(os.path.join(result_dir, "0.png"))
