@@ -113,7 +113,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     return miou, acc_meter.average()
 
 
-def build_engines(cfg, num_devices=1, exact=False):
+def build_engines(cfg, num_devices=1, exact=False, spatial=0):
     model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
     variables = init_variables(
         model, image_size=(cfg.DATASET.padding_constant * 8,) * 2
@@ -125,6 +125,22 @@ def build_engines(cfg, num_devices=1, exact=False):
         weights_encoder=cfg.MODEL.weights_encoder,
         weights_decoder=cfg.MODEL.weights_decoder,
     )
+    if spatial > 1:
+        # One engine sharding each image's height across `spatial` chips
+        # (GSPMD conv halo exchange) — multi-chip single-image latency.
+        from semseg_tpu.parallel.mesh import make_mesh
+
+        return [
+            InferenceEngine(
+                model,
+                variables,
+                num_class=cfg.DATASET.num_class,
+                output_stride=output_stride_for(cfg),
+                bucket_step=cfg.TPU.bucket_step,
+                exact=exact,
+                spatial_mesh=make_mesh(spatial),
+            )
+        ]
     devices = jax.devices()[: max(1, num_devices)]
     engines = []
     for d in devices:
@@ -149,6 +165,8 @@ def main(argv=None):
     parser.add_argument("--gpu", default=None, help="reference CLI parity")
     parser.add_argument("--exact", action="store_true",
                         help="bit-parity mode: no shape bucketing (slow on TPU)")
+    parser.add_argument("--spatial", type=int, default=0,
+                        help="shard each image's height across N chips")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -171,7 +189,7 @@ def main(argv=None):
                 cfg.MODEL.weights_encoder = native
 
     logger = setup_logger()
-    engines = build_engines(cfg, args.devices, exact=args.exact)
+    engines = build_engines(cfg, args.devices, exact=args.exact, spatial=args.spatial)
 
     dataset = ValDataset(
         cfg.DATASET.root_dataset,

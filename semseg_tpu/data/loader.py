@@ -28,6 +28,7 @@ class TrainLoader:
         self.num_workers = max(1, num_workers)
         self.queue: "queue.Queue" = queue.Queue(maxsize=max(2, prefetch))
         self._stop = threading.Event()
+        self._errors: list = []
         self._threads = []
         for w in range(self.num_workers):
             t = threading.Thread(
@@ -37,19 +38,31 @@ class TrainLoader:
             self._threads.append(t)
 
     def _worker(self, make_dataset, worker_id):
-        ds = make_dataset(worker_id)
-        while not self._stop.is_set():
-            batch = ds.next_batch()
+        # Worker failures surface on the consumer (the reference's vendored
+        # loader needed a SIGCHLD handler + ExceptionWrapper for this,
+        # dataloader.py:163-185; with threads one list suffices).
+        try:
+            ds = make_dataset(worker_id)
             while not self._stop.is_set():
-                try:
-                    self.queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = ds.next_batch()
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as e:
+            self._errors.append(e)
 
     def __iter__(self) -> Iterator[dict]:
         while True:
-            yield self.queue.get()
+            try:
+                yield self.queue.get(timeout=1.0)
+            except queue.Empty:
+                if self._errors:
+                    raise RuntimeError("TrainLoader worker failed") from self._errors[0]
+                if not any(t.is_alive() for t in self._threads):
+                    raise RuntimeError("All TrainLoader workers exited")
 
     def close(self):
         self._stop.set()

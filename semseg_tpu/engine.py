@@ -72,6 +72,7 @@ class InferenceEngine:
         output_stride: int = 8,
         bucket_step: int = 64,
         exact: bool = False,
+        spatial_mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -79,6 +80,16 @@ class InferenceEngine:
         self.output_stride = output_stride
         self.bucket_step = bucket_step
         self.exact = exact
+        # Optional multi-chip single-image parallelism: a Mesh whose last
+        # axis shards the image height; GSPMD inserts conv halo exchanges.
+        self.spatial_mesh = spatial_mesh
+        if spatial_mesh is not None:
+            from semseg_tpu.parallel.mesh import replicated, spatial_sharding
+
+            self._img_sharding = spatial_sharding(spatial_mesh)
+            self.variables = jax.device_put(
+                self.variables, replicated(spatial_mesh)
+            )
 
     # -- jitted kernels ----------------------------------------------------
     @functools.cached_property
@@ -148,10 +159,13 @@ class InferenceEngine:
             ph, pw = _round_up(h, self.bucket_step), _round_up(w, self.bucket_step)
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+            dev_img = jnp.asarray(img)
+            if self.spatial_mesh is not None:
+                dev_img = jax.device_put(dev_img, self._img_sharding)
             if img.dtype == np.uint8:
-                logits = self._logits_raw_fn(self.variables, jnp.asarray(img), h, w)
+                logits = self._logits_raw_fn(self.variables, dev_img, h, w)
             else:
-                logits = self._logits_fn(self.variables, jnp.asarray(img))
+                logits = self._logits_fn(self.variables, dev_img)
             logits = np.asarray(logits)[0]
             os_ = self.output_stride
             valid_h = -(-h // os_)

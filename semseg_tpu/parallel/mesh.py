@@ -26,6 +26,24 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(data: int, spatial: int, devices=None) -> Mesh:
+    """(data, spatial) mesh: batch dim over ``data``, image H over
+    ``spatial``. Convolutions over a spatially-sharded image are handled by
+    GSPMD with automatic halo exchanges — the TPU-native answer to
+    "the image is too large for one chip" (no counterpart exists in the
+    reference)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert data * spatial <= len(devices)
+    arr = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard image height across the mesh's last axis (batch unsharded)."""
+    axis = mesh.axis_names[-1]
+    return NamedSharding(mesh, P(None, axis))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim across the ``data`` axis."""
     return NamedSharding(mesh, P("data"))

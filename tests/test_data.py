@@ -201,3 +201,15 @@ class TestMetricsParity:
         assert parse_devices("0-3") == ["tpu0", "tpu1", "tpu2", "tpu3"]
         assert parse_devices("0,2") == ["tpu0", "tpu2"]
         assert parse_devices("gpu0") == ["tpu0"]
+
+
+class TestLoaderFailure:
+    def test_train_loader_propagates_worker_error(self):
+        class Boom:
+            def next_batch(self):
+                raise RuntimeError("decode failed")
+
+        loader = TrainLoader(lambda seed: Boom(), num_workers=1, prefetch=2)
+        with pytest.raises(RuntimeError):
+            next(iter(loader))
+        loader.close()

@@ -147,3 +147,21 @@ class TestDevicePreprocess:
         s_u8 = engine.scores_for_pyramid([u8], (90, 115))
         s_f32 = engine.scores_for_pyramid([f32], (90, 115))
         np.testing.assert_allclose(s_u8, s_f32, atol=2e-5)
+
+
+class TestSpatialSharding:
+    def test_spatial_engine_matches_single_device(self, model_and_vars):
+        """H-sharded multi-chip inference == single-device inference."""
+        from semseg_tpu.parallel.mesh import make_mesh
+
+        model, variables = model_and_vars
+        base = InferenceEngine(model, variables, output_stride=8, bucket_step=32)
+        spatial = InferenceEngine(
+            model, variables, output_stride=8, bucket_step=32,
+            spatial_mesh=make_mesh(4),
+        )
+        rng = np.random.RandomState(5)
+        img = rng.randn(1, 96, 128, 3).astype(np.float32)
+        s_base = base.scores_for_pyramid([img], (90, 120))
+        s_spatial = spatial.scores_for_pyramid([img], (90, 120))
+        np.testing.assert_allclose(s_spatial, s_base, atol=2e-4)
