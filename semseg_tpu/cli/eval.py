@@ -60,27 +60,46 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     items = list(loader)
     n_eng = len(engines)
 
+    def score_one(engine, item, pred):
+        seg_label = np.asarray(item["seg_label"][0])
+        acc, pix = accuracy(pred, seg_label)
+        inter, union = intersectionAndUnion(pred, seg_label, cfg.DATASET.num_class)
+        with lock:
+            nonlocal iou_meter_inter, iou_meter_union
+            acc_meter.update(acc, pix)
+            iou_meter_inter += inter
+            iou_meter_union += union
+        if visualize:
+            visualize_result(item, pred, vis_dir)
+
     def run_shard(eng_idx):
-        nonlocal iou_meter_inter, iou_meter_union
         engine = engines[eng_idx]
-        for idx in range(eng_idx, len(items), n_eng):
-            item = items[idx]
+        shard = items[eng_idx::n_eng]
+        batched = hasattr(engine, "batched_predict")
+        if batched:
+            # Throughput mode: cross-image bucket batching, chunks of 32.
+            for lo in range(0, len(shard), 32):
+                chunk = shard[lo : lo + 32]
+                seg_sizes = [
+                    np.asarray(it["seg_label"][0]).shape for it in chunk
+                ]
+                tic = time.perf_counter()
+                preds = engine.batched_predict(
+                    [it["img_data"] for it in chunk], seg_sizes
+                )
+                elapsed = (time.perf_counter() - tic) / max(len(chunk), 1)
+                for item, pred in zip(chunk, preds):
+                    with lock:
+                        time_meter.update(elapsed)
+                    score_one(engine, item, pred)
+            return
+        for item in shard:
             seg_label = np.asarray(item["seg_label"][0])
             tic = time.perf_counter()
             pred = engine.predict(item["img_data"], seg_label.shape)
-            elapsed = time.perf_counter() - tic
-
-            acc, pix = accuracy(pred, seg_label)
-            inter, union = intersectionAndUnion(
-                pred, seg_label, cfg.DATASET.num_class
-            )
             with lock:
-                acc_meter.update(acc, pix)
-                iou_meter_inter += inter
-                iou_meter_union += union
-                time_meter.update(elapsed)
-            if visualize:
-                visualize_result(item, pred, vis_dir)
+                time_meter.update(time.perf_counter() - tic)
+            score_one(engine, item, pred)
 
     errors = []
 
@@ -113,7 +132,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     return miou, acc_meter.average()
 
 
-def build_engines(cfg, num_devices=1, exact=False, spatial=0):
+def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0, fetch_dtype=None):
     model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
     variables = init_variables(
         model, image_size=(cfg.DATASET.padding_constant * 8,) * 2
@@ -145,16 +164,21 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0):
     engines = []
     for d in devices:
         dev_vars = jax.device_put(variables, d)
-        engines.append(
-            InferenceEngine(
-                model,
-                dev_vars,
-                num_class=cfg.DATASET.num_class,
-                output_stride=output_stride_for(cfg),
-                bucket_step=cfg.TPU.bucket_step,
-                exact=exact,
-            )
+        kw = dict(
+            num_class=cfg.DATASET.num_class,
+            output_stride=output_stride_for(cfg),
+            bucket_step=cfg.TPU.bucket_step,
+            exact=exact,
+            fetch_dtype=fetch_dtype,
         )
+        if batch > 1 and not exact:
+            from semseg_tpu.engine import BatchedInferenceEngine
+
+            engines.append(
+                BatchedInferenceEngine(model, dev_vars, batch_size=batch, **kw)
+            )
+        else:
+            engines.append(InferenceEngine(model, dev_vars, **kw))
     return engines
 
 
@@ -167,6 +191,11 @@ def main(argv=None):
                         help="bit-parity mode: no shape bucketing (slow on TPU)")
     parser.add_argument("--spatial", type=int, default=0,
                         help="shard each image's height across N chips")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="cross-image bucket batch size (0/1 = per-image)")
+    parser.add_argument("--fetch-dtype", default="bfloat16",
+                        help="device->host logits dtype (bfloat16 halves the "
+                             "transfer; float32 for exact parity)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -189,7 +218,10 @@ def main(argv=None):
                 cfg.MODEL.weights_encoder = native
 
     logger = setup_logger()
-    engines = build_engines(cfg, args.devices, exact=args.exact, spatial=args.spatial)
+    engines = build_engines(
+        cfg, args.devices, exact=args.exact, spatial=args.spatial,
+        batch=args.batch, fetch_dtype=None if args.exact else args.fetch_dtype,
+    )
 
     dataset = ValDataset(
         cfg.DATASET.root_dataset,

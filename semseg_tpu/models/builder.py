@@ -165,9 +165,26 @@ def init_variables(
         (1, image_size[0] // label_downsample, image_size[1] // label_downsample),
         jnp.int32,
     )
-    return model.init(
-        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
-        img,
-        seg_label=label,
-        train=True,
-    )
+
+    def do_init():
+        return model.init(
+            {
+                "params": jax.random.PRNGKey(seed),
+                "dropout": jax.random.PRNGKey(seed + 1),
+            },
+            img,
+            seg_label=label,
+            train=True,
+        )
+
+    # Initialize on the CPU backend when available: param init is tiny
+    # compute, but compiling the init program on a remote TPU costs minutes;
+    # moving the resulting arrays to the accelerator afterwards is fast.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            return do_init()
+    return do_init()

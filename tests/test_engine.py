@@ -165,3 +165,54 @@ class TestSpatialSharding:
         s_base = base.scores_for_pyramid([img], (90, 120))
         s_spatial = spatial.scores_for_pyramid([img], (90, 120))
         np.testing.assert_allclose(s_spatial, s_base, atol=2e-4)
+
+
+class TestBatchedEngine:
+    def test_batched_equals_batch1(self, model_and_vars):
+        from semseg_tpu.engine import BatchedInferenceEngine
+
+        model, variables = model_and_vars
+        base = InferenceEngine(model, variables, output_stride=8, bucket_step=32)
+        batched = BatchedInferenceEngine(
+            model, variables, output_stride=8, bucket_step=32, batch_size=3
+        )
+        rng = np.random.RandomState(9)
+        items, seg_sizes = [], []
+        # 5 images, 2 scales each, mixed shapes (some share buckets)
+        for hw in [(60, 80), (63, 82), (90, 70), (60, 80), (45, 100)]:
+            pyr = [
+                rng.randint(0, 256, (1, hw[0], hw[1], 3), dtype=np.uint8),
+                rng.randint(0, 256, (1, hw[0] // 2 * 2, hw[1] // 2 * 2, 3), dtype=np.uint8),
+            ]
+            items.append(pyr)
+            seg_sizes.append((hw[0] + 3, hw[1] - 2))
+
+        preds = batched.batched_predict(items, seg_sizes)
+        for i in range(len(items)):
+            ref = base.predict(items[i], seg_sizes[i])
+            agree = (preds[i] == ref).mean()
+            assert agree > 0.999, (i, agree)
+
+
+class TestDevicePostproc:
+    def test_device_postproc_matches_host(self, model_and_vars):
+        from semseg_tpu.engine import BatchedInferenceEngine
+
+        model, variables = model_and_vars
+        eng = BatchedInferenceEngine(
+            model, variables, output_stride=8, bucket_step=32, batch_size=2
+        )
+        rng = np.random.RandomState(13)
+        items, seg_sizes = [], []
+        for hw in [(60, 80), (90, 70), (64, 96)]:
+            items.append([
+                rng.randint(0, 256, (1, hw[0], hw[1], 3), dtype=np.uint8),
+                rng.randint(0, 256, (1, hw[0] + 8, hw[1] + 8, 3), dtype=np.uint8),
+            ])
+            seg_sizes.append((hw[0] * 2 - 7, hw[1] * 2 + 5))
+        on_dev = eng.batched_predict(items, seg_sizes, device_postproc=True)
+        on_host = eng.batched_predict(items, seg_sizes, device_postproc=False)
+        for i in range(len(items)):
+            assert on_dev[i].shape == seg_sizes[i]
+            agree = (on_dev[i] == on_host[i]).mean()
+            assert agree > 0.999, (i, agree)
