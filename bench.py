@@ -63,9 +63,11 @@ def main():
     )
 
     np.asarray(timed_forwards(variables, img))  # compile + warmup
-    t0 = time.perf_counter()
-    np.asarray(timed_forwards(variables, img))  # host fetch forces completion
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: the tunneled device link is noisy
+        t0 = time.perf_counter()
+        np.asarray(timed_forwards(variables, img))  # host fetch forces completion
+        dt = min(dt, time.perf_counter() - t0)
 
     fps = batch * iters / dt
     print(

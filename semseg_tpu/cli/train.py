@@ -82,6 +82,9 @@ def main(argv=None):
         "--devices", type=int, default=0, help="data-parallel devices (0 = all)"
     )
     parser.add_argument("--gpus", default=None, help="accepted for reference CLI parity")
+    parser.add_argument("--profile", default="",
+                        help="capture a JAX profiler trace of the first "
+                             "steps of epoch 1 into this directory")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -138,11 +141,20 @@ def main(argv=None):
     loader_iter = iter(loader)
     step_fn = jitted_train_step()
 
+    if args.profile:
+        # Tracing/observability (reference has only wall-clock meters,
+        # SURVEY.md §5): capture device + host timelines for the first steps.
+        jax.profiler.start_trace(args.profile)
+
     history = {"train": {"epoch": [], "loss": [], "acc": []}}
     for epoch in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
         state = train_one_epoch(
             step_fn, state, loader_iter, mesh, cfg, epoch, history, logger
         )
+        if args.profile and epoch == cfg.TRAIN.start_epoch:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info(f"Wrote profiler trace to {args.profile}")
         save_train_state(cfg.DIR, epoch + 1, state, history)
         logger.info(f"Saved checkpoint epoch_{epoch + 1}")
 

@@ -42,7 +42,7 @@ def mini(tmp_path_factory):
 
 def run_cli(script, *args, timeout=900):
     env = dict(os.environ, SEMSEG_PLATFORM="cpu")
-    env.pop("XLA_FLAGS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         capture_output=True,
@@ -94,6 +94,13 @@ def test_train_eval_test_cycle(mini, tmp_path_factory):
         "eval.py", *COMMON, *data_opts, "VAL.checkpoint", "epoch_2.pth",
     )
     assert "Mean IoU" in out and "Evaluation Done!" in out
+
+    # multi-device eval: round-robin over 2 virtual devices
+    out = run_cli(
+        "eval.py", "--devices", "2", *COMMON, *data_opts,
+        "VAL.checkpoint", "epoch_2.pth",
+    )
+    assert "Evaluation Done!" in out
 
     result_dir = str(tmp_path_factory.mktemp("result"))
     out = run_cli(

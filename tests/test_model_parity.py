@@ -56,7 +56,8 @@ def build_reference(enc_arch, dec_arch, fc_dim):
         "ppm": ref_models.PPM,
         "ppm_deepsup": ref_models.PPMDeepsup,
         "upernet": lambda **kw: ref_models.UPerNet(fpn_dim=512, **kw),
-        "upernet_lite": lambda **kw: ref_models.UPerNet(fpn_dim=256, **kw),
+        "upernet_lite": lambda **kw: ref_models.UPerNet(
+            fpn_dim=256, fpn_inplanes=(64, 128, 256, 512), **kw),
     }[dec_arch]
     dec = dec_cls(num_class=150, fc_dim=fc_dim, use_softmax=True)
     dec.apply(ref_models.ModelBuilder.weights_init)
@@ -81,6 +82,7 @@ CASES = [
     ("resnet18dilated", "ppm_deepsup", 512),
     ("resnet50dilated", "ppm_deepsup", 2048),
     ("resnet50", "upernet", 2048),
+    ("resnet18", "upernet_lite", 512),
     ("resnet101dilated", "ppm", 2048),
     ("resnext101", "c1", 2048),
     ("hrnetv2", "c1", 720),
