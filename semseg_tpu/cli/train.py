@@ -28,6 +28,7 @@ from semseg_tpu.models import ModelBuilder, init_variables
 from semseg_tpu.parallel import (
     create_train_state,
     current_lrs,
+    device_prefetch,
     jitted_train_step,
     make_mesh,
     replicate_state,
@@ -48,7 +49,7 @@ def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logg
         batch = next(loader_iter)
         data_time.update(time.time() - tic)
 
-        state, metrics = step_fn(state, shard_batch(mesh, batch), rng)
+        state, metrics = step_fn(state, batch, rng)
         if (i + 1) % cfg.TRAIN.disp_iter == 0 or i == 0:
             # Sync only when logging; the step itself stays async-dispatched.
             loss = float(metrics["loss"])
@@ -138,7 +139,9 @@ def main(argv=None):
         num_workers=cfg.TRAIN.workers,
         prefetch=cfg.TPU.prefetch * 4,
     )
-    loader_iter = iter(loader)
+    # Batches arrive on-device: a prefetch thread overlaps the host→device
+    # transfer of the next batches with the running step.
+    loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
     step_fn = jitted_train_step()
 
     if args.profile:

@@ -108,5 +108,8 @@ _C.TPU.bucket_step = 32
 _C.TPU.max_buckets = 64
 # Host data-pipeline prefetch depth (device batches in flight).
 _C.TPU.prefetch = 2
+# Rematerialize encoder blocks in the backward pass (jax.checkpoint):
+# trades ~30% step FLOPs for activation memory, enabling larger batches.
+_C.TPU.remat = False
 
 cfg = _C

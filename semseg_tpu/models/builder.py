@@ -47,28 +47,30 @@ class ModelBuilder:
         *,
         dtype: Any = jnp.float32,
         axis_name: Optional[str] = None,
+        remat: bool = False,
     ):
         """Build an encoder module by architecture key (models.py:63-110)."""
         arch = arch.lower()
         kw = dict(dtype=dtype, axis_name=axis_name)
         if arch == "mobilenetv2dilated":
             return mobilenet_mod.mobilenetv2dilated(**kw)
+        kw_res = dict(kw, remat=remat)
         if arch == "resnet18":
-            return resnet_mod.resnet18(**kw)
+            return resnet_mod.resnet18(**kw_res)
         if arch == "resnet18dilated":
-            return resnet_mod.resnet18(dilate_scale=8, **kw)
+            return resnet_mod.resnet18(dilate_scale=8, **kw_res)
         if arch in ("resnet34", "resnet34dilated"):
             raise NotImplementedError(arch)
         if arch == "resnet50":
-            return resnet_mod.resnet50(**kw)
+            return resnet_mod.resnet50(**kw_res)
         if arch == "resnet50dilated":
-            return resnet_mod.resnet50(dilate_scale=8, **kw)
+            return resnet_mod.resnet50(dilate_scale=8, **kw_res)
         if arch == "resnet101":
-            return resnet_mod.resnet101(**kw)
+            return resnet_mod.resnet101(**kw_res)
         if arch == "resnet101dilated":
-            return resnet_mod.resnet101(dilate_scale=8, **kw)
+            return resnet_mod.resnet101(dilate_scale=8, **kw_res)
         if arch == "resnext101":
-            return resnet_mod.resnext101(**kw)
+            return resnet_mod.resnext101(**kw_res)
         if arch == "hrnetv2":
             return hrnet_mod.hrnetv2(**kw)
         raise ValueError(f"Architecture undefined: {arch!r}")
@@ -113,7 +115,11 @@ class ModelBuilder:
         if dtype is None:
             dtype = jnp.dtype(cfg.TPU.compute_dtype) if "TPU" in cfg else jnp.float32
         encoder = ModelBuilder.build_encoder(
-            cfg.MODEL.arch_encoder, cfg.MODEL.fc_dim, dtype=dtype, axis_name=axis_name
+            cfg.MODEL.arch_encoder,
+            cfg.MODEL.fc_dim,
+            dtype=dtype,
+            axis_name=axis_name,
+            remat=bool(cfg.TPU.remat) if "TPU" in cfg else False,
         )
         decoder = ModelBuilder.build_decoder(
             cfg.MODEL.arch_decoder,

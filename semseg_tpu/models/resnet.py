@@ -45,7 +45,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         kw = dict(
             axis_name=self.axis_name, dtype=self.dtype, bn_momentum=self.bn_momentum
         )
@@ -86,6 +86,7 @@ class ResNetEncoder(nn.Module):
     planes: Sequence[int] = (64, 128, 256, 512)
     groups: int = 1
     dilate_scale: Optional[int] = None  # None (OS 32) | 8 | 16
+    remat: bool = False  # jax.checkpoint each block: memory for ~30% FLOPs
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -116,13 +117,16 @@ class ResNetEncoder(nn.Module):
         x = max_pool2d(x, kernel_size=3, stride=2, padding=1)
 
         strides, dilations = self.stage_dilations()
+        block_cls = (
+            nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
+        )
         inplanes = 128
         features = []
         for i, (blocks, planes) in enumerate(zip(self.layers, self.planes)):
             stride, dilation = strides[i], dilations[i]
             for j in range(blocks):
                 first = j == 0
-                x = ResBlock(
+                x = block_cls(
                     block=self.block,
                     planes=planes,
                     stride=stride if first else 1,
@@ -135,7 +139,7 @@ class ResNetEncoder(nn.Module):
                     and (stride != 1 or inplanes != planes * self.expansion),
                     name=f"layer{i + 1}_{j}",
                     **kw,
-                )(x, train=train)
+                )(x, train)
                 if first:
                     inplanes = planes * self.expansion
             features.append(x)

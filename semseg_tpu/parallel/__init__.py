@@ -1,5 +1,6 @@
 from .mesh import (
     batch_sharding,
+    device_prefetch,
     make_mesh,
     replicate_state,
     replicated,
@@ -16,6 +17,7 @@ from .train_step import (
 
 __all__ = [
     "make_mesh",
+    "device_prefetch",
     "batch_sharding",
     "replicated",
     "shard_batch",

@@ -63,3 +63,43 @@ def replicate_state(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
+    """Overlap host→device batch transfer with the running step.
+
+    A background thread shards/uploads the next ``depth`` batches while the
+    current step executes — the jitted step then never waits on PCIe/ICI
+    ingress. (The reference's analogue is the per-GPU CUDA copy streams in
+    data_parallel.py:82-112.)
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    errors: list = []
+
+    def worker():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(shard_batch(mesh, batch))
+        except Exception as e:
+            errors.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is None:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+
+    return gen()

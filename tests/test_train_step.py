@@ -156,3 +156,29 @@ class TestOptimizerSemantics:
         np.testing.assert_allclose(
             np.asarray(wj), wt.detach().numpy(), atol=1e-6
         )
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, rng):
+        """TPU.remat=True must not change the forward or the gradients."""
+        import jax.numpy as jnp
+        from semseg_tpu.models.resnet import resnet18
+
+        enc_a = resnet18(dilate_scale=8)
+        enc_b = resnet18(dilate_scale=8, remat=True)
+        img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        va = enc_a.init({"params": jax.random.PRNGKey(0)}, img, train=False)
+        fa = enc_a.apply(va, img, train=False)
+        fb = enc_b.apply(va, img, train=False)
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        def loss(vs, enc):
+            return sum(jnp.sum(f ** 2) for f in enc.apply(vs, img, train=False))
+
+        ga = jax.grad(lambda v: loss(v, enc_a))(va)
+        gb = jax.grad(lambda v: loss(v, enc_b))(va)
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b) / (np.abs(a) + np.abs(a).mean() + 1e-6)
+            assert rel.max() < 1e-4
