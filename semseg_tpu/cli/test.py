@@ -13,8 +13,6 @@ import os
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from semseg_tpu.config import cfg
 from semseg_tpu.data import TestDataset
 from semseg_tpu.data.loader import EvalLoader

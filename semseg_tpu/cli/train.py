@@ -32,7 +32,6 @@ from semseg_tpu.parallel import (
     jitted_train_step,
     make_mesh,
     replicate_state,
-    shard_batch,
 )
 from semseg_tpu.utils import AverageMeter, setup_logger
 

@@ -24,7 +24,7 @@ Design here:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBN, Dropout2d, SyncBatchNorm
+from .layers import ConvBN, Dropout2d
 from semseg_tpu.ops import adaptive_avg_pool2d, resize_bilinear
 
 # Decoder-wide init (ModelBuilder.weights_init).

@@ -19,7 +19,7 @@ Design notes (TPU-first, not a torch translation):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

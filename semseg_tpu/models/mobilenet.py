@@ -26,7 +26,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBN, SyncBatchNorm
+from .layers import ConvBN
 
 # (expand_ratio t, channels c, repeats n, stride s) — mobilenet.py:85-94.
 INVERTED_RESIDUAL_SETTING = (

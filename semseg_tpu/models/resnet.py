@@ -26,7 +26,7 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvBN, SyncBatchNorm
+from .layers import ConvBN
 from semseg_tpu.ops import max_pool2d
 
 

@@ -21,10 +21,9 @@ Two layers:
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from semseg_tpu.ops import pixel_accuracy, softmax_cross_entropy_with_ignore

@@ -26,7 +26,6 @@ Quirks reproduced exactly (they matter for checkpoint/training parity):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
