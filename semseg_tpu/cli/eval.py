@@ -76,8 +76,30 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
         engine = engines[eng_idx]
         shard = items[eng_idx::n_eng]
         batched = hasattr(engine, "batched_predict")
+        if batched and not visualize:
+            # Throughput mode: cross-image bucket batching + fully on-device
+            # metrics (only scalars/histograms leave the device).
+            nonlocal iou_meter_inter, iou_meter_union
+            for lo in range(0, len(shard), 32):
+                chunk = shard[lo : lo + 32]
+                labels = [np.asarray(it["seg_label"][0]) for it in chunk]
+                tic = time.perf_counter()
+                metrics = engine.batched_metrics(
+                    [it["img_data"] for it in chunk], labels
+                )
+                elapsed = (time.perf_counter() - tic) / max(len(chunk), 1)
+                with lock:
+                    for acc_sum, pix_sum, inter, union in metrics:
+                        acc_meter.update(
+                            float(acc_sum) / (float(pix_sum) + 1e-10),
+                            int(pix_sum),
+                        )
+                        iou_meter_inter += inter.astype(np.float64)
+                        iou_meter_union += union.astype(np.float64)
+                        time_meter.update(elapsed)
+            return
         if batched:
-            # Throughput mode: cross-image bucket batching, chunks of 32.
+            # Visualization needs the prediction maps on the host.
             for lo in range(0, len(shard), 32):
                 chunk = shard[lo : lo + 32]
                 seg_sizes = [

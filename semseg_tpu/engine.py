@@ -301,6 +301,97 @@ class BatchedInferenceEngine(InferenceEngine):
 
         return run
 
+    @functools.cached_property
+    def _metrics_fn(self):
+        """On-device pixel-accuracy + per-class intersection/union.
+
+        Exact ``utils.accuracy`` / ``intersectionAndUnion`` semantics
+        (reference utils.py:128-156): unlabeled pixels (-1; includes canvas
+        padding) are excluded, and predictions on unlabeled pixels count
+        toward neither histogram. Only 2 scalars + 3 length-C vectors cross
+        the device→host link per image.
+        """
+
+        @jax.jit
+        def run(acc, label):
+            pred = jnp.argmax(acc, axis=-1)
+            valid = label >= 0
+            acc_sum = jnp.sum(valid & (pred == label))
+            pix_sum = jnp.sum(valid)
+            p1 = jax.nn.one_hot(
+                jnp.where(valid, pred, -1), self.num_class, dtype=jnp.float32
+            )
+            l1 = jax.nn.one_hot(label, self.num_class, dtype=jnp.float32)
+            inter = jnp.sum(p1 * l1, axis=(0, 1))
+            area_pred = jnp.sum(p1, axis=(0, 1))
+            area_lab = jnp.sum(l1, axis=(0, 1))
+            union = area_pred + area_lab - inter
+            return acc_sum, pix_sum, inter, union
+
+        return run
+
+    def batched_metrics(self, items, labels):
+        """Multi-scale predict + metrics fully on device.
+
+        ``labels``: per-item (H, W) int arrays (-1 = void). Returns a list of
+        (acc_sum, pix_sum, intersection, union) numpy tuples.
+        """
+        seg_sizes = [lab.shape for lab in labels]
+        groups: dict = {}
+        for i, pyramid in enumerate(items):
+            for arr in pyramid:
+                assert arr.dtype == np.uint8, "batched engine needs raw uint8"
+                h, w = arr.shape[1], arr.shape[2]
+                groups.setdefault(
+                    (_round_up(h, self.bucket_step), _round_up(w, self.bucket_step)),
+                    [],
+                ).append((i, arr, h, w))
+
+        os_ = self.output_stride
+        accs: list = [None] * len(items)
+        remaining = [len(p) for p in items]
+        out: list = [None] * len(items)
+
+        for (ph, pw), tasks in groups.items():
+            for lo in range(0, len(tasks), self.batch_size):
+                chunk = tasks[lo : lo + self.batch_size]
+                padded_chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
+                hs = np.zeros(self.batch_size, np.int32)
+                ws = np.zeros(self.batch_size, np.int32)
+                for j, (_, arr, h, w) in enumerate(padded_chunk):
+                    batch[j, :h, :w] = arr[0]
+                    hs[j], ws[j] = h, w
+                dev_logits = self._batched_raw_fn(
+                    self.variables, jnp.asarray(batch), jnp.asarray(hs),
+                    jnp.asarray(ws),
+                )
+                for j, (item_idx, _, h, w) in enumerate(chunk):
+                    H, W = seg_sizes[item_idx]
+                    if accs[item_idx] is None:
+                        Hp = _round_up(H, self.bucket_step)
+                        Wp = _round_up(W, self.bucket_step)
+                        accs[item_idx] = jnp.zeros(
+                            (Hp, Wp, self.num_class), jnp.float32
+                        )
+                    accs[item_idx] = self._accum_fn(
+                        accs[item_idx], dev_logits[j],
+                        -(-h // os_), -(-w // os_), H, W,
+                    )
+                    remaining[item_idx] -= 1
+                    if remaining[item_idx] == 0:
+                        Hp, Wp = accs[item_idx].shape[:2]
+                        lab = np.full((Hp, Wp), -1, np.int32)
+                        lab[:H, :W] = labels[item_idx]
+                        out[item_idx] = self._metrics_fn(
+                            accs[item_idx], jnp.asarray(lab)
+                        )
+                        accs[item_idx] = None
+
+        return [
+            tuple(np.asarray(v) for v in metrics) for metrics in out
+        ]
+
     def _device_postproc_predict(self, items, seg_sizes, groups):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
         n_items = len(items)

@@ -216,3 +216,33 @@ class TestDevicePostproc:
             assert on_dev[i].shape == seg_sizes[i]
             agree = (on_dev[i] == on_host[i]).mean()
             assert agree > 0.999, (i, agree)
+
+
+class TestDeviceMetrics:
+    def test_device_metrics_match_host_metrics(self, model_and_vars):
+        from semseg_tpu.engine import BatchedInferenceEngine
+        from semseg_tpu.utils import accuracy, intersectionAndUnion
+
+        model, variables = model_and_vars
+        eng = BatchedInferenceEngine(
+            model, variables, output_stride=8, bucket_step=32, batch_size=2
+        )
+        rng = np.random.RandomState(21)
+        items, labels = [], []
+        for hw in [(60, 80), (90, 70), (64, 96)]:
+            items.append([
+                rng.randint(0, 256, (1, hw[0], hw[1], 3), dtype=np.uint8),
+                rng.randint(0, 256, (1, hw[0] + 8, hw[1] - 8, 3), dtype=np.uint8),
+            ])
+            labels.append(rng.randint(-1, 150, (hw[0] + 5, hw[1] + 3)).astype(np.int32))
+
+        dev = eng.batched_metrics(items, labels)
+        preds = eng.batched_predict(items, [l.shape for l in labels])
+        for i in range(len(items)):
+            acc, pix = accuracy(preds[i], labels[i])
+            inter, union = intersectionAndUnion(preds[i], labels[i], 150)
+            a_s, p_s, d_inter, d_union = dev[i]
+            assert int(p_s) == int(pix)
+            np.testing.assert_allclose(int(a_s) / (int(p_s) + 1e-10), acc, atol=1e-6)
+            np.testing.assert_array_equal(d_inter.astype(np.int64), inter)
+            np.testing.assert_array_equal(d_union.astype(np.int64), union)
