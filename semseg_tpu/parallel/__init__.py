@@ -6,6 +6,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from . import distributed
 from .train_step import (
     TrainState,
     create_train_state,
@@ -17,6 +18,7 @@ from .train_step import (
 
 __all__ = [
     "make_mesh",
+    "distributed",
     "device_prefetch",
     "batch_sharding",
     "replicated",

@@ -1,0 +1,81 @@
+"""Multi-host (multi-process) training support.
+
+The reference is strictly single-node (SURVEY.md §2.3: the vendored
+DistributedSampler is never imported; ``setup_logger``'s rank argument is a
+TODO). This module supplies the TPU-native multi-host path: one Python
+process per host, all chips in one global mesh, GSPMD collectives over
+ICI/DCN. Nothing else in the framework changes — the train step is already
+written against the global mesh.
+
+Usage (one process per host, e.g. under a TPU pod slice):
+
+    from semseg_tpu.parallel.distributed import initialize
+    initialize()                      # jax.distributed handshake
+    mesh = make_mesh()                # now spans every chip in the slice
+
+Data: each process feeds only its addressable shard of the global batch —
+``local_batch_slice`` gives the per-process slice, and
+``process_seed`` de-correlates the per-host TrainDataset streams.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """jax.distributed handshake; no-op when single-process."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # Rely on TPU environment auto-detection.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def is_primary() -> bool:
+    """True on the process that should log / checkpoint."""
+    return jax.process_index() == 0
+
+
+def process_seed(base_seed: int, worker: int = 0) -> int:
+    """De-correlated per-host, per-worker data seed."""
+    return base_seed * 100_003 + jax.process_index() * 1_009 + worker
+
+
+def global_batch_size(per_device: int) -> int:
+    return per_device * jax.device_count()
+
+
+def local_batch_slice(per_device: int) -> slice:
+    """The slice of the global batch this process must materialize."""
+    local = per_device * jax.local_device_count()
+    start = jax.process_index() * local
+    return slice(start, start + local)
+
+
+def shard_local_batch(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble a global sharded array from per-process local batches.
+
+    Each process passes only its local slice; the result is a global
+    jax.Array sharded over the mesh's ``data`` axis.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape
+        )
+
+    return jax.tree.map(put, local_batch)

@@ -182,3 +182,54 @@ class TestRemat:
             a, b = np.asarray(a), np.asarray(b)
             rel = np.abs(a - b) / (np.abs(a) + np.abs(a).mean() + 1e-6)
             assert rel.max() < 1e-4
+
+
+class TestDeterminismAndPrecision:
+    def test_same_seed_same_losses(self, rng):
+        """Two runs from the same seed produce identical loss trajectories."""
+        c = small_cfg()
+        model = ModelBuilder.build_model(c, dtype=jnp.float32)
+        batch = make_batch(rng)
+
+        def run2():
+            variables = init_variables(model, seed=7)
+            state = create_train_state(c, model, variables)
+            step = jax.jit(train_step)
+            key = jax.random.PRNGKey(7)
+            losses = []
+            for _ in range(3):
+                state, m = step(state, batch, key)
+                losses.append(float(m["loss"]))
+            return losses
+
+        np.testing.assert_array_equal(run2(), run2())
+
+    def test_bf16_close_to_f32(self, rng):
+        """bfloat16 compute tracks the float32 forward."""
+        c = small_cfg()
+        m32 = ModelBuilder.build_model(c, dtype=jnp.float32)
+        m16 = ModelBuilder.build_model(c, dtype=jnp.bfloat16)
+        variables = init_variables(m32, seed=0)
+        img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        s32 = np.asarray(m32.apply(variables, img, seg_size=(64, 64), train=False))
+        s16 = np.asarray(m16.apply(variables, img, seg_size=(64, 64), train=False))
+        # probabilities: bf16 rounding shifts them slightly
+        assert np.abs(s32 - s16).mean() < 2e-3
+        agree = (s32.argmax(-1) == s16.argmax(-1)).mean()
+        assert agree > 0.95, agree
+
+
+class TestDistributedHelpers:
+    def test_single_process_helpers(self):
+        from semseg_tpu.parallel.distributed import (
+            global_batch_size,
+            is_primary,
+            local_batch_slice,
+            process_seed,
+        )
+
+        assert is_primary()
+        assert global_batch_size(2) == 2 * jax.device_count()
+        s = local_batch_slice(2)
+        assert s.start == 0 and s.stop == 2 * jax.local_device_count()
+        assert process_seed(304) != process_seed(304, worker=1)
