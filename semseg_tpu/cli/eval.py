@@ -57,8 +57,21 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     time_meter = AverageMeter()
     lock = threading.Lock()
 
-    items = list(loader)
+    # Stream the val set: a shared iterator hands out chunks so memory stays
+    # O(chunk × engines), not O(dataset) (2,000 pyramids would be ~10 GB).
     n_eng = len(engines)
+    item_iter = iter(loader)
+    iter_lock = threading.Lock()
+
+    def next_chunk(size=32):
+        out = []
+        with iter_lock:
+            for _ in range(size):
+                try:
+                    out.append(next(item_iter))
+                except StopIteration:
+                    break
+        return out
 
     def score_one(engine, item, pred):
         seg_label = np.asarray(item["seg_label"][0])
@@ -74,20 +87,22 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
 
     def run_shard(eng_idx):
         engine = engines[eng_idx]
-        shard = items[eng_idx::n_eng]
         batched = hasattr(engine, "batched_predict")
-        if batched and not visualize:
-            # Throughput mode: cross-image bucket batching + fully on-device
-            # metrics (only scalars/histograms leave the device).
-            nonlocal iou_meter_inter, iou_meter_union
-            for lo in range(0, len(shard), 32):
-                chunk = shard[lo : lo + 32]
+        while True:
+            chunk = next_chunk(32 if batched else 1)
+            if not chunk:
+                return
+            if batched and not visualize:
+                # Throughput mode: cross-image bucket batching + fully
+                # on-device metrics (only scalars/histograms leave the
+                # device).
+                nonlocal iou_meter_inter, iou_meter_union
                 labels = [np.asarray(it["seg_label"][0]) for it in chunk]
                 tic = time.perf_counter()
                 metrics = engine.batched_metrics(
                     [it["img_data"] for it in chunk], labels
                 )
-                elapsed = (time.perf_counter() - tic) / max(len(chunk), 1)
+                elapsed = (time.perf_counter() - tic) / len(chunk)
                 with lock:
                     for acc_sum, pix_sum, inter, union in metrics:
                         acc_meter.update(
@@ -97,11 +112,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                         iou_meter_inter += inter.astype(np.float64)
                         iou_meter_union += union.astype(np.float64)
                         time_meter.update(elapsed)
-            return
-        if batched:
-            # Visualization needs the prediction maps on the host.
-            for lo in range(0, len(shard), 32):
-                chunk = shard[lo : lo + 32]
+            elif batched:
+                # Visualization needs the prediction maps on the host.
                 seg_sizes = [
                     np.asarray(it["seg_label"][0]).shape for it in chunk
                 ]
@@ -109,19 +121,19 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                 preds = engine.batched_predict(
                     [it["img_data"] for it in chunk], seg_sizes
                 )
-                elapsed = (time.perf_counter() - tic) / max(len(chunk), 1)
+                elapsed = (time.perf_counter() - tic) / len(chunk)
                 for item, pred in zip(chunk, preds):
                     with lock:
                         time_meter.update(elapsed)
                     score_one(engine, item, pred)
-            return
-        for item in shard:
-            seg_label = np.asarray(item["seg_label"][0])
-            tic = time.perf_counter()
-            pred = engine.predict(item["img_data"], seg_label.shape)
-            with lock:
-                time_meter.update(time.perf_counter() - tic)
-            score_one(engine, item, pred)
+            else:
+                item = chunk[0]
+                seg_label = np.asarray(item["seg_label"][0])
+                tic = time.perf_counter()
+                pred = engine.predict(item["img_data"], seg_label.shape)
+                with lock:
+                    time_meter.update(time.perf_counter() - tic)
+                score_one(engine, item, pred)
 
     errors = []
 
