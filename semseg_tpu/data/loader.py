@@ -82,26 +82,32 @@ class EvalLoader:
     def __iter__(self):
         n = len(self.dataset)
         results: dict[int, dict] = {}
+        errors: list = []
         lock = threading.Lock()
         cond = threading.Condition(lock)
         next_fetch = [0]
 
         def worker():
-            while True:
-                with lock:
-                    if next_fetch[0] >= n:
-                        return
-                    # Backpressure: don't run more than `prefetch` ahead of
-                    # the consumer.
-                    while len(results) >= self.prefetch:
-                        cond.wait(timeout=0.5)
-                        if next_fetch[0] >= n:
+            try:
+                while True:
+                    with lock:
+                        if next_fetch[0] >= n or errors:
                             return
-                    idx = next_fetch[0]
-                    next_fetch[0] += 1
-                item = self.dataset[idx]
+                        # Backpressure: don't run more than `prefetch` ahead
+                        # of the consumer.
+                        while len(results) >= self.prefetch:
+                            cond.wait(timeout=0.5)
+                            if next_fetch[0] >= n or errors:
+                                return
+                        idx = next_fetch[0]
+                        next_fetch[0] += 1
+                    item = self.dataset[idx]
+                    with lock:
+                        results[idx] = item
+                        cond.notify_all()
+            except Exception as e:  # surface decode failures to the consumer
                 with lock:
-                    results[idx] = item
+                    errors.append(e)
                     cond.notify_all()
 
         threads = [
@@ -114,6 +120,8 @@ class EvalLoader:
         for i in range(n):
             with lock:
                 while i not in results:
+                    if errors:
+                        raise RuntimeError("EvalLoader worker failed") from errors[0]
                     cond.wait(timeout=0.5)
                 item = results.pop(i)
                 cond.notify_all()

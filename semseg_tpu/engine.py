@@ -166,8 +166,6 @@ class InferenceEngine:
         Returns (H, W, num_class) float32 scores (mean over scales), matching
         eval.py:60-72.
         """
-        import cv2
-
         acc = np.zeros((*seg_size, self.num_class), np.float32)
         if self.exact:
             from semseg_tpu.data.transforms import MEAN, STD
@@ -330,23 +328,23 @@ class BatchedInferenceEngine(InferenceEngine):
 
         return run
 
-    def batched_metrics(self, items, labels):
-        """Multi-scale predict + metrics fully on device.
-
-        ``labels``: per-item (H, W) int arrays (-1 = void). Returns a list of
-        (acc_sum, pix_sum, intersection, union) numpy tuples.
-        """
-        seg_sizes = [lab.shape for lab in labels]
+    @staticmethod
+    def _group_by_bucket(items, bucket_step):
+        """Group (item, level) tasks by padded bucket shape."""
         groups: dict = {}
         for i, pyramid in enumerate(items):
             for arr in pyramid:
                 assert arr.dtype == np.uint8, "batched engine needs raw uint8"
                 h, w = arr.shape[1], arr.shape[2]
                 groups.setdefault(
-                    (_round_up(h, self.bucket_step), _round_up(w, self.bucket_step)),
-                    [],
+                    (_round_up(h, bucket_step), _round_up(w, bucket_step)), []
                 ).append((i, arr, h, w))
+        return groups
 
+    def _accumulate_on_device(self, items, seg_sizes, groups, finalize):
+        """Shared driver: batched forwards + per-image on-device score
+        canvases; calls ``finalize(item_idx, acc_canvas)`` once each image's
+        last scale has been accumulated and returns the finalize results."""
         os_ = self.output_stride
         accs: list = [None] * len(items)
         remaining = [len(p) for p in items]
@@ -355,6 +353,8 @@ class BatchedInferenceEngine(InferenceEngine):
         for (ph, pw), tasks in groups.items():
             for lo in range(0, len(tasks), self.batch_size):
                 chunk = tasks[lo : lo + self.batch_size]
+                # Pad the final chunk to the full batch so each bucket
+                # compiles exactly once; surplus outputs are dropped.
                 padded_chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
                 batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
                 hs = np.zeros(self.batch_size, np.int32)
@@ -369,10 +369,13 @@ class BatchedInferenceEngine(InferenceEngine):
                 for j, (item_idx, _, h, w) in enumerate(chunk):
                     H, W = seg_sizes[item_idx]
                     if accs[item_idx] is None:
-                        Hp = _round_up(H, self.bucket_step)
-                        Wp = _round_up(W, self.bucket_step)
                         accs[item_idx] = jnp.zeros(
-                            (Hp, Wp, self.num_class), jnp.float32
+                            (
+                                _round_up(H, self.bucket_step),
+                                _round_up(W, self.bucket_step),
+                                self.num_class,
+                            ),
+                            jnp.float32,
                         )
                     accs[item_idx] = self._accum_fn(
                         accs[item_idx], dev_logits[j],
@@ -380,61 +383,38 @@ class BatchedInferenceEngine(InferenceEngine):
                     )
                     remaining[item_idx] -= 1
                     if remaining[item_idx] == 0:
-                        Hp, Wp = accs[item_idx].shape[:2]
-                        lab = np.full((Hp, Wp), -1, np.int32)
-                        lab[:H, :W] = labels[item_idx]
-                        out[item_idx] = self._metrics_fn(
-                            accs[item_idx], jnp.asarray(lab)
-                        )
-                        accs[item_idx] = None
+                        out[item_idx] = finalize(item_idx, accs[item_idx])
+                        accs[item_idx] = None  # free the canvas
+        return out
 
-        return [
-            tuple(np.asarray(v) for v in metrics) for metrics in out
-        ]
+    def batched_metrics(self, items, labels):
+        """Multi-scale predict + metrics fully on device.
+
+        ``labels``: per-item (H, W) int arrays (-1 = void). Returns a list of
+        (acc_sum, pix_sum, intersection, union) numpy tuples.
+        """
+        seg_sizes = [lab.shape for lab in labels]
+        groups = self._group_by_bucket(items, self.bucket_step)
+
+        def finalize(item_idx, acc):
+            H, W = seg_sizes[item_idx]
+            lab = np.full(acc.shape[:2], -1, np.int32)
+            lab[:H, :W] = labels[item_idx]
+            return self._metrics_fn(acc, jnp.asarray(lab))
+
+        out = self._accumulate_on_device(items, seg_sizes, groups, finalize)
+        return [tuple(np.asarray(v) for v in metrics) for metrics in out]
 
     def _device_postproc_predict(self, items, seg_sizes, groups):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
-        n_items = len(items)
-        os_ = self.output_stride
-        accs: list = [None] * n_items
-        remaining = [len(p) for p in items]
-        preds: list = [None] * n_items
-
-        for (ph, pw), tasks in groups.items():
-            for lo in range(0, len(tasks), self.batch_size):
-                chunk = tasks[lo : lo + self.batch_size]
-                padded_chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-                batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
-                hs = np.zeros(self.batch_size, np.int32)
-                ws = np.zeros(self.batch_size, np.int32)
-                for j, (_, arr, h, w) in enumerate(padded_chunk):
-                    batch[j, :h, :w] = arr[0]
-                    hs[j], ws[j] = h, w
-                dev_logits = self._batched_raw_fn(
-                    self.variables, jnp.asarray(batch), jnp.asarray(hs),
-                    jnp.asarray(ws),
-                )
-                for j, (item_idx, _, h, w) in enumerate(chunk):
-                    H, W = seg_sizes[item_idx]
-                    if accs[item_idx] is None:
-                        Hp = _round_up(H, self.bucket_step)
-                        Wp = _round_up(W, self.bucket_step)
-                        accs[item_idx] = jnp.zeros((Hp, Wp, self.num_class),
-                                                   jnp.float32)
-                    accs[item_idx] = self._accum_fn(
-                        accs[item_idx], dev_logits[j],
-                        -(-h // os_), -(-w // os_), H, W,
-                    )
-                    remaining[item_idx] -= 1
-                    if remaining[item_idx] == 0:
-                        preds[item_idx] = self._argmax_fn(accs[item_idx])
-                        accs[item_idx] = None  # free the canvas
-
+        preds = self._accumulate_on_device(
+            items, seg_sizes, groups, lambda _i, acc: self._argmax_fn(acc)
+        )
         return [
             np.asarray(preds[i])[: seg_sizes[i][0], : seg_sizes[i][1]].astype(
                 np.int64
             )
-            for i in range(n_items)
+            for i in range(len(items))
         ]
 
     def batched_predict(self, items, seg_sizes, *, device_postproc=True):
@@ -453,15 +433,7 @@ class BatchedInferenceEngine(InferenceEngine):
         ]
         counts = [len(p) for p in items]
 
-        # Group (item, level) tasks by bucket shape.
-        groups: dict = {}
-        for i, pyramid in enumerate(items):
-            for arr in pyramid:
-                assert arr.dtype == np.uint8, "batched engine needs raw uint8"
-                h, w = arr.shape[1], arr.shape[2]
-                ph = _round_up(h, self.bucket_step)
-                pw = _round_up(w, self.bucket_step)
-                groups.setdefault((ph, pw), []).append((i, arr, h, w))
+        groups = self._group_by_bucket(items, self.bucket_step)
 
         if device_postproc:
             return self._device_postproc_predict(items, seg_sizes, groups)

@@ -213,3 +213,16 @@ class TestLoaderFailure:
         with pytest.raises(RuntimeError):
             next(iter(loader))
         loader.close()
+
+    def test_eval_loader_propagates_error(self):
+        class BadDataset:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                if i == 1:
+                    raise ValueError("corrupt image")
+                return {"i": i}
+
+        with pytest.raises(RuntimeError):
+            list(EvalLoader(BadDataset(), num_workers=2, prefetch=2))
