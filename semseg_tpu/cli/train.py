@@ -85,6 +85,9 @@ def main(argv=None):
     parser.add_argument("--profile", default="",
                         help="capture a JAX profiler trace of the first "
                              "steps of epoch 1 into this directory")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (one process per "
+                             "host on a TPU pod slice)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -92,7 +95,12 @@ def main(argv=None):
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    logger = setup_logger()
+    if args.multihost:
+        from semseg_tpu.parallel import distributed
+
+        distributed.initialize()
+
+    logger = setup_logger(distributed_rank=jax.process_index())
     logger.info(f"Loaded configuration file {args.cfg}")
 
     os.makedirs(cfg.DIR, exist_ok=True)
@@ -104,7 +112,14 @@ def main(argv=None):
     mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
     n_dev = mesh.devices.size
     global_batch = cfg.TRAIN.batch_size_per_gpu * n_dev
-    logger.info(f"Mesh: {n_dev} device(s); global batch {global_batch}")
+    # Multi-host: each process materializes only its local slice; the
+    # prefetcher assembles global sharded arrays.
+    n_proc = jax.process_count()
+    local_batch = global_batch // n_proc
+    logger.info(
+        f"Mesh: {n_dev} device(s) / {n_proc} process(es); "
+        f"global batch {global_batch}"
+    )
 
     dtype = jnp.dtype(cfg.TPU.compute_dtype)
     model = ModelBuilder.build_model(cfg, dtype=dtype)
@@ -131,16 +146,28 @@ def main(argv=None):
             cfg.DATASET.root_dataset,
             cfg.DATASET.list_train,
             cfg.DATASET,
-            batch_per_gpu=global_batch,
-            seed=cfg.TRAIN.seed * 1000 + worker_seed,
+            batch_per_gpu=local_batch,
+            seed=cfg.TRAIN.seed * 1000
+            + jax.process_index() * 97
+            + worker_seed,
             bucket_step=cfg.TPU.bucket_step,
         ),
         num_workers=cfg.TRAIN.workers,
         prefetch=cfg.TPU.prefetch * 4,
     )
     # Batches arrive on-device: a prefetch thread overlaps the host→device
-    # transfer of the next batches with the running step.
-    loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
+    # transfer of the next batches with the running step. Under multi-host,
+    # per-process local batches are assembled into global sharded arrays.
+    if n_proc > 1:
+        from semseg_tpu.parallel.distributed import shard_local_batch
+
+        def _iter_global():
+            for local in iter(loader):
+                yield shard_local_batch(mesh, local)
+
+        loader_iter = iter(_iter_global())
+    else:
+        loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
     step_fn = jitted_train_step()
 
     if args.profile:
@@ -157,8 +184,9 @@ def main(argv=None):
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             logger.info(f"Wrote profiler trace to {args.profile}")
-        save_train_state(cfg.DIR, epoch + 1, state, history)
-        logger.info(f"Saved checkpoint epoch_{epoch + 1}")
+        if jax.process_index() == 0:
+            save_train_state(cfg.DIR, epoch + 1, state, history)
+            logger.info(f"Saved checkpoint epoch_{epoch + 1}")
 
     loader.close()
     logger.info("Training Done!")
