@@ -246,3 +246,34 @@ class TestDeviceMetrics:
             np.testing.assert_allclose(int(a_s) / (int(p_s) + 1e-10), acc, atol=1e-6)
             np.testing.assert_array_equal(d_inter.astype(np.int64), inter)
             np.testing.assert_array_equal(d_union.astype(np.int64), union)
+
+
+class TestSegmentationModuleWrapper:
+    def test_feed_dict_api(self, model_and_vars, rng):
+        """The reference calling convention: module(feed_dict, segSize=...)."""
+        from semseg_tpu.models import SegmentationModule
+
+        model, variables = model_and_vars
+        module = SegmentationModule(model, variables)
+        img = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        scores = module({"img_data": img}, segSize=(50, 60))
+        assert scores.shape == (1, 50, 60, 150)
+        np.testing.assert_allclose(np.asarray(scores).sum(-1), 1.0, atol=1e-4)
+
+        lab = jnp.asarray(rng.randint(-1, 150, (1, 8, 8)).astype(np.int32))
+        loss, acc = module({"img_data": img, "seg_label": lab})
+        assert np.isfinite(float(loss)) and 0.0 <= float(acc) <= 1.0
+
+
+class TestConverterErrors:
+    def test_missing_torch_key_raises(self, model_and_vars):
+        from semseg_tpu.models.convert import convert_checkpoints
+
+        model, variables = model_and_vars
+        with pytest.raises(KeyError):
+            convert_checkpoints(
+                dict(variables),
+                arch_encoder="resnet18dilated",
+                arch_decoder="ppm_deepsup",
+                encoder_state={"conv1.weight": np.zeros((64, 3, 3, 3), np.float32)},
+            )
