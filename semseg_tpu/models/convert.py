@@ -172,15 +172,80 @@ def _decoder_torch_prefix(path, arch: str):
 # Conversion
 # ---------------------------------------------------------------------------
 
+#: Dict keys under which published checkpoints commonly nest the weights
+#: (torch.save'd training dicts, mmcv/detectron-style exports).
+_STATE_DICT_WRAPPER_KEYS = ("state_dict", "model_state", "model", "net")
+
+
+def normalize_state_dict(state) -> Dict[str, np.ndarray]:
+    """Normalize a loaded torch checkpoint object into ``{key: ndarray}``.
+
+    Handles the formats found in the wild for the reference zoo
+    (cf. /root/reference/mit_semseg/models/utils.py:10-18 and the
+    DataParallel-trained checkpoints train.py:74-89 produces):
+
+    * a full ``nn.Module`` (``.state_dict()`` is taken);
+    * a wrapper dict ``{'state_dict': ...}`` / ``{'model': ...}`` etc.;
+    * ``module.``-prefixed keys from ``nn.DataParallel``-wrapped saves;
+    * tensor values → numpy (non-tensor metadata entries are dropped).
+
+    Classifier extras (``fc.*`` / ``classifier.*``) are kept — the converter
+    ignores torch keys it doesn't need, mirroring the reference builders'
+    ``load_state_dict(strict=False)`` (mit_semseg/models/models.py:106-109).
+    """
+    if hasattr(state, "state_dict") and callable(state.state_dict):
+        state = state.state_dict()
+    if not isinstance(state, Mapping):
+        raise TypeError(f"unsupported checkpoint object: {type(state)!r}")
+
+    def _is_tensor_dict(d):
+        return (
+            isinstance(d, Mapping)
+            and len(d) > 0
+            and all(
+                hasattr(v, "numpy") or isinstance(v, np.ndarray)
+                for v in d.values()
+            )
+        )
+
+    if not _is_tensor_dict(state):
+        for key in _STATE_DICT_WRAPPER_KEYS:
+            inner = state.get(key)
+            if _is_tensor_dict(inner):
+                state = inner
+                break
+        else:
+            raise KeyError(
+                "checkpoint is not a state_dict and has no recognized "
+                f"wrapper key (looked for {_STATE_DICT_WRAPPER_KEYS}); "
+                f"top-level keys: {sorted(state)[:10]}"
+            )
+
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        if not (hasattr(v, "numpy") or isinstance(v, np.ndarray)):
+            continue  # step counters / metadata alongside tensors
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch ``state_dict`` file into numpy arrays."""
+    """Load a torch checkpoint file into a flat ``{key: ndarray}`` dict.
+
+    Accepts raw state_dicts, ``{'state_dict': ...}``-style wrappers, and
+    ``module.``-prefixed DataParallel saves (see `normalize_state_dict`).
+    """
     import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(state, "state_dict"):
-        state = state.state_dict()
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in state.items()}
+    try:
+        state = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Older zoo files may contain pickled non-tensor objects that
+        # weights_only rejects; retry permissively (trusted local file).
+        state = torch.load(path, map_location="cpu", weights_only=False)
+    return normalize_state_dict(state)
 
 
 def convert_component(
