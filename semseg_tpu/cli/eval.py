@@ -57,6 +57,14 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     time_meter = AverageMeter()
     lock = threading.Lock()
 
+    # Progress reporting (reference eval.py:49 / eval_multipro.py:129).
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(total=len(loader))
+    except Exception:  # tqdm unavailable or loader without __len__
+        pbar = None
+
     # Stream the val set: a shared iterator hands out chunks so memory stays
     # O(chunk × engines), not O(dataset) (2,000 pyramids would be ~10 GB).
     n_eng = len(engines)
@@ -112,6 +120,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                         iou_meter_inter += inter.astype(np.float64)
                         iou_meter_union += union.astype(np.float64)
                         time_meter.update(elapsed)
+                    if pbar is not None:
+                        pbar.update(len(metrics))
             elif batched:
                 # Visualization needs the prediction maps on the host.
                 seg_sizes = [
@@ -125,6 +135,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                 for item, pred in zip(chunk, preds):
                     with lock:
                         time_meter.update(elapsed)
+                        if pbar is not None:
+                            pbar.update(1)
                     score_one(engine, item, pred)
             else:
                 item = chunk[0]
@@ -133,6 +145,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                 pred = engine.predict(item["img_data"], seg_label.shape)
                 with lock:
                     time_meter.update(time.perf_counter() - tic)
+                    if pbar is not None:
+                        pbar.update(1)
                 score_one(engine, item, pred)
 
     errors = []
@@ -150,6 +164,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
         t.start()
     for t in threads:
         t.join()
+    if pbar is not None:
+        pbar.close()
     if errors:
         raise errors[0]
 
@@ -163,7 +179,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
         f"Accuracy: {acc_meter.average() * 100:.2f}%, "
         f"Inference Time: {time_meter.average():.4f}s"
     )
-    return miou, acc_meter.average()
+    return miou, acc_meter.average(), iou
 
 
 def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0, fetch_dtype=None):
@@ -189,7 +205,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0, fetch_dty
                 variables,
                 num_class=cfg.DATASET.num_class,
                 output_stride=output_stride_for(cfg),
-                bucket_step=cfg.TPU.bucket_step,
+                bucket_step=cfg.TPU.eval_bucket_step,
                 exact=exact,
                 spatial_mesh=make_mesh(spatial),
             )
@@ -201,7 +217,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0, fetch_dty
         kw = dict(
             num_class=cfg.DATASET.num_class,
             output_stride=output_stride_for(cfg),
-            bucket_step=cfg.TPU.bucket_step,
+            bucket_step=cfg.TPU.eval_bucket_step,
             exact=exact,
             fetch_dtype=fetch_dtype,
         )
@@ -230,12 +246,18 @@ def main(argv=None):
     parser.add_argument("--fetch-dtype", default="bfloat16",
                         help="device->host logits dtype (bfloat16 halves the "
                              "transfer; float32 for exact parity)")
+    parser.add_argument("--bucket-step", type=int, default=0,
+                        help="override TPU.eval_bucket_step: 8 = reference-"
+                             "protocol-exact (default), 16/32 = fewer "
+                             "compiled shapes at ~4e-4/1.2e-3 mIoU drift")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
+    if args.bucket_step:
+        cfg.TPU.eval_bucket_step = args.bucket_step
 
     # Reference checkpoint name convention (eval.py:183-188).
     if cfg.VAL.checkpoint and not cfg.MODEL.weights_encoder:
@@ -262,6 +284,9 @@ def main(argv=None):
         cfg.DATASET.list_val,
         cfg.DATASET,
         device_preprocess=not args.exact,
+        # Bucket-by-resize: pyramid levels land directly on the jit shape
+        # lattice, so the engine never pads (pad-bleed-free bucketing).
+        bucket_step=None if args.exact else cfg.TPU.eval_bucket_step,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
     evaluate(

@@ -81,11 +81,27 @@ def main(argv=None):
     logger = setup_logger()
     engine = build_engines(cfg, 1, exact=args.exact)[0]
 
-    dataset = TestDataset(img_list, cfg.DATASET, device_preprocess=not args.exact)
-    for item in EvalLoader(dataset, num_workers=2, prefetch=4):
+    dataset = TestDataset(
+        img_list,
+        cfg.DATASET,
+        device_preprocess=not args.exact,
+        bucket_step=None if args.exact else cfg.TPU.eval_bucket_step,
+    )
+    loader = EvalLoader(dataset, num_workers=2, prefetch=4)
+    try:
+        from tqdm import tqdm
+
+        pbar = tqdm(total=len(loader))  # reference test.py:58
+    except Exception:
+        pbar = None
+    for item in loader:
         seg_size = item["img_ori"].shape[:2]
         pred = engine.predict(item["img_data"], seg_size)
         visualize_result(item, pred, cfg.TEST.result, logger)
+        if pbar is not None:
+            pbar.update(1)
+    if pbar is not None:
+        pbar.close()
 
     logger.info("Inference done!")
 

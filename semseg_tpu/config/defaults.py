@@ -101,9 +101,23 @@ _C.TPU = CfgNode()
 _C.TPU.compute_dtype = "bfloat16"
 # Data-parallel mesh size; 0 = use all visible devices.
 _C.TPU.data_parallel = 0
-# Spatial bucket lattice step for jit shape bucketing: padded H/W are rounded
+# TRAIN-time bucket lattice: device batches are zero-padded (ignore-labeled)
 # up to a multiple of this (>= padding_constant) to bound recompilations.
-_C.TPU.bucket_step = 32
+# Measured over the real training.odgt (tools/compile_budget.py, 5000-iter
+# epoch): step 32 -> ~120 distinct jit shapes with 10-15 first compiles
+# landing after the epoch midpoint; step 64 -> ~65 shapes at ~11% padding
+# FLOPs (pad is ignore-labeled, so loss/stats are unaffected — the
+# reference zero-pads identically); step 128 -> ~24 shapes at ~21% waste.
+_C.TPU.bucket_step = 64
+# EVAL-time bucket lattice: each pyramid level is RESIZED so H/W land on
+# multiples of this (bucket-by-resize — no padded canvas, no receptive-field
+# pad-bleed; just a coarser aspect rounding than the reference's
+# padding_constant=8). At 8 the protocol is IDENTICAL to the reference
+# (measured drift ~5e-5 mIoU) at 441 distinct val-set shapes; 16 trades
+# ~4e-4 mIoU / ~2e-3 acc for 246 shapes, 32 trades ~1.2e-3 mIoU for 133.
+# Default is the parity-safe 8; raise per-run for throughput
+# (eval CLI --bucket-step). See PARITY.md / tests/test_eval_oracle.py.
+_C.TPU.eval_bucket_step = 8
 # Cap on concurrently cached compiled shapes (informational).
 _C.TPU.max_buckets = 64
 # Host data-pipeline prefetch depth (device batches in flight).

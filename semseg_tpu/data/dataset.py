@@ -70,10 +70,20 @@ def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
 
 
 class BaseDataset:
-    def __init__(self, odgt, opt, **kwargs):
+    def __init__(self, odgt, opt, *, bucket_step: Optional[int] = None, **kwargs):
         self.imgSizes = opt.imgSizes
         self.imgMaxSize = opt.imgMaxSize
         self.padding_constant = opt.padding_constant
+        # Eval-time shape bucketing BY RESIZE: pyramid levels are resized
+        # directly to dims rounded up to this lattice (instead of the
+        # reference's padding_constant, dataset.py:232-236). This bounds jit
+        # recompilations WITHOUT introducing a padded canvas: zero-pad
+        # canvases bleed through the dilated-conv receptive field and the
+        # PPM global pooling (measured: interior feature drift up to ~48%
+        # on small images), while a slightly coarser aspect distortion is
+        # exactly the approximation the reference already makes — just a
+        # marginally different sampling grid.
+        self.eval_bucket_step = bucket_step
         self.list_sample = parse_odgt(odgt, **kwargs)
         self.num_sample = len(self.list_sample)
 
@@ -90,15 +100,12 @@ class BaseDataset:
             if isinstance(self.imgSizes, (list, tuple))
             else (self.imgSizes,)
         )
+        rounding = self.eval_bucket_step or self.padding_constant
         out = []
         for short_size in sizes:
             scale = scale_for(ori_height, ori_width, short_size, self.imgMaxSize)
-            target_h = round2nearest_multiple(
-                int(ori_height * scale), self.padding_constant
-            )
-            target_w = round2nearest_multiple(
-                int(ori_width * scale), self.padding_constant
-            )
+            target_h = round2nearest_multiple(int(ori_height * scale), rounding)
+            target_w = round2nearest_multiple(int(ori_width * scale), rounding)
             resized = imresize(img, (target_w, target_h), interp="bilinear")
             if raw:
                 out.append(np.asarray(resized, dtype=np.uint8)[None])

@@ -8,10 +8,16 @@ port would compile thousands of programs over the 2,000-image val set.
 
 Design here:
 
-* the **model forward runs on TPU at bucketed shapes**: each pyramid level is
-  zero-padded (normalized space — zero = ImageNet mean pixel, the same value
-  the reference's train-time batch padding injects, dataset.py:146-151) up to
-  a ``bucket_step`` lattice, bounding the number of compiled programs;
+* the **model forward runs on TPU at bucketed shapes**. Primary bucketing is
+  BY RESIZE in the data pipeline (``ValDataset(bucket_step=...)``): each
+  pyramid level is resized so H/W land directly on the bucket lattice — no
+  padded canvas, hence no receptive-field/PPM-pooling pad contamination
+  (measured: zero-pad canvases drift interior encoder features up to ~48%
+  on small images, while the coarser aspect rounding costs ~1e-4 mIoU at
+  deployment scales — see tests/test_eval_oracle.py). Inputs not already on
+  the lattice are zero-padded (normalized space — zero = ImageNet mean
+  pixel, the value the reference's train-time batch padding injects,
+  dataset.py:146-151) and masked, as a fallback;
 * the decoder returns **logits at feature resolution** (no in-model resize);
   the valid region is cropped and the final bilinear-resize-to-label-size +
   softmax + scale-averaging runs vectorized on the host (cv2/numpy) — the
@@ -427,19 +433,17 @@ class BatchedInferenceEngine(InferenceEngine):
         from concurrent.futures import ThreadPoolExecutor
 
         n_items = len(items)
-        accs = [
-            np.zeros((*seg_sizes[i], self.num_class), np.float32)
-            for i in range(n_items)
-        ]
-        counts = [len(p) for p in items]
-
         groups = self._group_by_bucket(items, self.bucket_step)
 
         if device_postproc:
             return self._device_postproc_predict(items, seg_sizes, groups)
 
-        pool = ThreadPoolExecutor(self.postproc_workers)
-        futures = []
+        # Host-postproc path: per-image score canvases on the host.
+        accs = [
+            np.zeros((*seg_sizes[i], self.num_class), np.float32)
+            for i in range(n_items)
+        ]
+        counts = [len(p) for p in items]
 
         def fetch_and_postprocess(item_idx, dev_logits_row, h, w, seg_size):
             # np.asarray here (in the pool) overlaps D2H transfers with the
@@ -447,39 +451,40 @@ class BatchedInferenceEngine(InferenceEngine):
             logits = np.asarray(dev_logits_row)
             return item_idx, self._postprocess(logits, h, w, seg_size)
 
-        # Dispatch all batches first (async), then collect.
-        for (ph, pw), tasks in groups.items():
-            for lo in range(0, len(tasks), self.batch_size):
-                chunk = tasks[lo : lo + self.batch_size]
-                bsz = len(chunk)
-                # Pad the final chunk to the full batch so each bucket
-                # compiles exactly once; surplus outputs are dropped.
-                padded_chunk = chunk + [chunk[-1]] * (self.batch_size - bsz)
-                batch = np.zeros(
-                    (self.batch_size, ph, pw, 3), np.uint8
-                )
-                hs = np.zeros(self.batch_size, np.int32)
-                ws = np.zeros(self.batch_size, np.int32)
-                for j, (_, arr, h, w) in enumerate(padded_chunk):
-                    batch[j, :h, :w] = arr[0]
-                    hs[j], ws[j] = h, w
-                dev_logits = self._batched_raw_fn(
-                    self.variables, jnp.asarray(batch), jnp.asarray(hs),
-                    jnp.asarray(ws),
-                )
-                for j in range(bsz):
-                    item_idx, _, h, w = chunk[j]
-                    futures.append(
-                        pool.submit(
-                            fetch_and_postprocess, item_idx, dev_logits[j],
-                            h, w, seg_sizes[item_idx],
-                        )
+        with ThreadPoolExecutor(self.postproc_workers) as pool:
+            futures = []
+            # Dispatch all batches first (async), then collect.
+            for (ph, pw), tasks in groups.items():
+                for lo in range(0, len(tasks), self.batch_size):
+                    chunk = tasks[lo : lo + self.batch_size]
+                    bsz = len(chunk)
+                    # Pad the final chunk to the full batch so each bucket
+                    # compiles exactly once; surplus outputs are dropped.
+                    padded_chunk = chunk + [chunk[-1]] * (self.batch_size - bsz)
+                    batch = np.zeros(
+                        (self.batch_size, ph, pw, 3), np.uint8
                     )
+                    hs = np.zeros(self.batch_size, np.int32)
+                    ws = np.zeros(self.batch_size, np.int32)
+                    for j, (_, arr, h, w) in enumerate(padded_chunk):
+                        batch[j, :h, :w] = arr[0]
+                        hs[j], ws[j] = h, w
+                    dev_logits = self._batched_raw_fn(
+                        self.variables, jnp.asarray(batch), jnp.asarray(hs),
+                        jnp.asarray(ws),
+                    )
+                    for j in range(bsz):
+                        item_idx, _, h, w = chunk[j]
+                        futures.append(
+                            pool.submit(
+                                fetch_and_postprocess, item_idx, dev_logits[j],
+                                h, w, seg_sizes[item_idx],
+                            )
+                        )
 
-        for fut in futures:
-            item_idx, scores = fut.result()
-            accs[item_idx] += scores
-        pool.shutdown()
+            for fut in futures:
+                item_idx, scores = fut.result()
+                accs[item_idx] += scores
 
         return [
             (accs[i] / counts[i]).argmax(-1) for i in range(n_items)
