@@ -302,8 +302,12 @@ def convert_component(
                 new_leaves.append(jnp.asarray(state[f"{prefix}.running_var"]))
             elif leaf_name == "iter":
                 it = state.get(f"{prefix}._running_iter")
+                # default float dtype: f32 normally, f64 under the x64 oracle
                 new_leaves.append(
-                    jnp.asarray(it.reshape(()) if it is not None else 1.0, jnp.float32)
+                    jnp.asarray(
+                        it.reshape(()) if it is not None else 1.0,
+                        jnp.result_type(float),
+                    )
                 )
             else:
                 raise KeyError((mod_path, leaf_name))

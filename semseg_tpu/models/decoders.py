@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from .layers import ConvBN, Dropout2d
 from semseg_tpu.ops import adaptive_avg_pool2d, resize_bilinear
+from semseg_tpu.ops.dtypes import acc_dtype
 
 # Decoder-wide init (ModelBuilder.weights_init).
 DEC_KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
@@ -62,7 +63,7 @@ def _final_conv(num_class, *, dtype, name):
 
 def _finish(x, seg_size):
     """Inference epilogue: upsample logits to label size, softmax, f32."""
-    x = resize_bilinear(x.astype(jnp.float32), seg_size)
+    x = resize_bilinear(x.astype(acc_dtype(x.dtype)), seg_size)
     return jax.nn.softmax(x, axis=-1)
 
 
@@ -81,7 +82,7 @@ class C1(nn.Module):
         x = _final_conv(self.num_class, dtype=self.dtype, name="conv_last")(x)
         if seg_size is not None:
             return _finish(x, seg_size)
-        return x.astype(jnp.float32)
+        return x.astype(acc_dtype(x.dtype))
 
 
 class C1DeepSup(nn.Module):
@@ -102,13 +103,13 @@ class C1DeepSup(nn.Module):
         if not train:
             # Logits-only inference (bucketed eval engine): the reference
             # never runs the deep-supervision branch outside training.
-            return x.astype(jnp.float32)
+            return x.astype(acc_dtype(x.dtype))
 
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(
             conv_out[-2], train=train
         )
         ds = _final_conv(self.num_class, dtype=self.dtype, name="conv_last_deepsup")(ds)
-        return x.astype(jnp.float32), ds.astype(jnp.float32)
+        return x.astype(acc_dtype(x.dtype)), ds.astype(acc_dtype(x.dtype))
 
 
 class _PPMPool(nn.Module):
@@ -156,7 +157,7 @@ class PPM(nn.Module):
         x = self._trunk(conv_out[-1], train)
         if seg_size is not None:
             return _finish(x, seg_size)
-        return x.astype(jnp.float32)
+        return x.astype(acc_dtype(x.dtype))
 
 
 class PPMDeepsup(PPM):
@@ -168,7 +169,7 @@ class PPMDeepsup(PPM):
         if seg_size is not None:
             return _finish(x, seg_size)
         if not train:
-            return x.astype(jnp.float32)
+            return x.astype(acc_dtype(x.dtype))
 
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(
@@ -176,7 +177,7 @@ class PPMDeepsup(PPM):
         )
         ds = Dropout2d(0.1, name="dropout_deepsup")(ds, train=train)
         ds = _final_conv(self.num_class, dtype=self.dtype, name="conv_last_deepsup")(ds)
-        return x.astype(jnp.float32), ds.astype(jnp.float32)
+        return x.astype(acc_dtype(x.dtype)), ds.astype(acc_dtype(x.dtype))
 
 
 class UPerNet(nn.Module):
@@ -241,4 +242,4 @@ class UPerNet(nn.Module):
 
         if seg_size is not None:
             return _finish(x, seg_size)
-        return x.astype(jnp.float32)
+        return x.astype(acc_dtype(x.dtype))

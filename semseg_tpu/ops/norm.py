@@ -29,6 +29,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from .dtypes import acc_dtype
+
 
 def batch_norm_train(
     x,
@@ -45,13 +47,15 @@ def batch_norm_train(
     """Training-mode synchronized batch norm over an NHWC tensor.
 
     Returns ``(y, new_running_mean, new_running_var, new_running_iter)``.
-    Statistics are computed in float32 regardless of ``x.dtype``.
+    Statistics are computed in float32 (float64 under the x64 oracle)
+    regardless of a lower ``x.dtype``.
     """
-    xf = x.astype(jnp.float32)
+    adt = acc_dtype(x.dtype)
+    xf = x.astype(adt)
     # Per-shard partials; under GSPMD jit these reductions are already global.
     s = jnp.sum(xf, axis=(0, 1, 2))
     ss = jnp.sum(xf * xf, axis=(0, 1, 2))
-    n = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
+    n = jnp.asarray(x.shape[0] * x.shape[1] * x.shape[2], adt)
     if axis_name is not None:
         # Explicit-SPMD path (shard_map / pmap): one fused psum replaces the
         # reference's ReduceAddCoalesced + Broadcast pair.
@@ -77,7 +81,8 @@ def batch_norm_train(
 
 def batch_norm_inference(x, scale, bias, running_mean, running_var, *, eps=1e-5):
     """Inference-mode batch norm: affine transform with running statistics."""
+    adt = acc_dtype(x.dtype)
     inv = lax.rsqrt(running_var + eps)
-    w = (scale * inv).astype(jnp.float32)
-    b = (bias - running_mean * scale * inv).astype(jnp.float32)
-    return (x.astype(jnp.float32) * w + b).astype(x.dtype)
+    w = (scale * inv).astype(adt)
+    b = (bias - running_mean * scale * inv).astype(adt)
+    return (x.astype(adt) * w + b).astype(x.dtype)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import jax.lax as lax
 import numpy as np
 
+from .dtypes import acc_dtype
+
 
 def max_pool2d(x, *, kernel_size, stride, padding=0):
     """NHWC max-pool matching ``torch.nn.MaxPool2d`` (floor mode)."""
@@ -64,7 +66,7 @@ def adaptive_avg_pool2d(x, output_size):
 
     # Integral image with a leading zero row/col: ii[:, i, j, :] = sum of
     # x[:, :i, :j, :].
-    acc = jnp.cumsum(x.astype(jnp.float32), axis=1)
+    acc = jnp.cumsum(x.astype(acc_dtype(x.dtype)), axis=1)
     acc = jnp.cumsum(acc, axis=2)
     ii = jnp.pad(acc, ((0, 0), (1, 0), (1, 0), (0, 0)))
 
@@ -80,7 +82,7 @@ def adaptive_avg_pool2d(x, output_size):
     cc = ii[:, he[:, None], ws[None, :], :]
     d = ii[:, hs[:, None], ws[None, :], :]
     box = a - b - cc + d
-    area = ((he - hs)[:, None] * (we - ws)[None, :]).astype(np.float32)
+    area = ((he - hs)[:, None] * (we - ws)[None, :]).astype(acc.dtype)
     out = box / area[None, :, :, None]
     return out.astype(x.dtype)
 

@@ -35,18 +35,21 @@ def resize_bilinear(x, size, *, align_corners=False):
 
 def _resize_align_corners(x, oh, ow):
     """align_corners=True sampling: src = dst * (in-1)/(out-1)."""
+    from .dtypes import acc_dtype
+
     n, h, w, c = x.shape
     dtype = x.dtype
-    x = x.astype(jnp.float32)
+    adt = acc_dtype(x.dtype)
+    x = x.astype(adt)
 
     def axis_weights(in_size, out_size):
         if out_size == 1 or in_size == 1:
-            src = jnp.zeros((out_size,), jnp.float32)
+            src = jnp.zeros((out_size,), adt)
         else:
-            src = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+            src = jnp.arange(out_size, dtype=adt) * (in_size - 1) / (out_size - 1)
         lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, in_size - 1)
         hi = jnp.clip(lo + 1, 0, in_size - 1)
-        frac = src - lo.astype(jnp.float32)
+        frac = src - lo.astype(adt)
         # Dense (out, in) interpolation matrix — rides the MXU.
         m = (
             jax.nn.one_hot(lo, in_size) * (1.0 - frac)[:, None]
