@@ -44,17 +44,21 @@ def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logg
     rng = jax.random.PRNGKey(cfg.TRAIN.seed + epoch)
 
     tic = time.time()
+    pending_metrics = []  # device scalars; fetched only at disp time
     for i in range(cfg.TRAIN.epoch_iters):
         batch = next(loader_iter)
         data_time.update(time.time() - tic)
 
         state, metrics = step_fn(state, batch, rng)
-        if (i + 1) % cfg.TRAIN.disp_iter == 0 or i == 0:
-            # Sync only when logging; the step itself stays async-dispatched.
-            loss = float(metrics["loss"])
-            acc = float(metrics["acc"])
-            ave_loss.update(loss)
-            ave_acc.update(acc * 100)
+        # Reference meter semantics (train.py:49-57): every iteration counts
+        # toward the averages. The scalars stay on device until disp time so
+        # the step dispatch pipeline never blocks on a fetch.
+        pending_metrics.append(metrics)
+        if (i + 1) % cfg.TRAIN.disp_iter == 0:
+            for m in pending_metrics:
+                ave_loss.update(float(m["loss"]))
+                ave_acc.update(float(m["acc"]) * 100)
+            pending_metrics.clear()
         batch_time.update(time.time() - tic)
         tic = time.time()
 
@@ -157,15 +161,15 @@ def main(argv=None):
     )
     # Batches arrive on-device: a prefetch thread overlaps the host→device
     # transfer of the next batches with the running step. Under multi-host,
-    # per-process local batches are assembled into global sharded arrays.
+    # per-process local batches are assembled into global sharded arrays —
+    # on the same prefetch thread, so the overlap is identical.
     if n_proc > 1:
         from semseg_tpu.parallel.distributed import shard_local_batch
 
-        def _iter_global():
-            for local in iter(loader):
-                yield shard_local_batch(mesh, local)
-
-        loader_iter = iter(_iter_global())
+        loader_iter = device_prefetch(
+            iter(loader), mesh, depth=cfg.TPU.prefetch,
+            put=lambda local: shard_local_batch(mesh, local),
+        )
     else:
         loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
     step_fn = jitted_train_step()

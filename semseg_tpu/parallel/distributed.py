@@ -20,27 +20,81 @@ Data: each process feeds only its addressable shard of the global batch —
 
 from __future__ import annotations
 
+import logging
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+logger = logging.getLogger("Logger")
 
-def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """jax.distributed handshake; no-op when single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None,
+               initialization_timeout=None):
+    """jax.distributed handshake.
+
+    Explicit coordinator arguments (or the SEMSEG_COORDINATOR /
+    SEMSEG_NUM_PROCESSES / SEMSEG_PROCESS_ID environment variables) make the
+    handshake MANDATORY — any failure raises. Without them, TPU-environment
+    auto-detection is attempted; if it fails the single-process fallback is
+    logged loudly (a pod job silently training N disjoint 1/N-sized models
+    is the failure mode this guards against).
+    """
+    # NOTE: must not touch backend-initializing APIs (jax.process_count,
+    # jax.devices, ...) before the handshake — the distributed client has to
+    # come up first. Detect an existing client via the runtime state object.
+    try:
+        if jax.distributed.global_state.client is not None:
+            return  # already initialized
+    except AttributeError:
+        pass
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "SEMSEG_COORDINATOR"
+    )
+    if num_processes is None and "SEMSEG_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["SEMSEG_NUM_PROCESSES"])
+    if process_id is None and "SEMSEG_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["SEMSEG_PROCESS_ID"])
+
     if coordinator_address is None and num_processes is None:
         # Rely on TPU environment auto-detection.
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run
+        except Exception as e:
+            logger.warning(
+                "jax.distributed auto-initialization failed (%s); continuing "
+                "SINGLE-PROCESS. If this is a pod job, pass explicit "
+                "coordinator_address/num_processes (or SEMSEG_COORDINATOR/"
+                "SEMSEG_NUM_PROCESSES/SEMSEG_PROCESS_ID).",
+                e,
+            )
+            return
     else:
+        # Explicit request: failures propagate.
+        kw = {}
+        if initialization_timeout is not None:
+            kw["initialization_timeout"] = initialization_timeout
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kw,
         )
+    if num_processes is not None and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"jax.distributed came up with {jax.process_count()} processes, "
+            f"expected {num_processes}"
+        )
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d global "
+        "devices",
+        jax.process_index(),
+        jax.process_count(),
+        jax.local_device_count(),
+        jax.device_count(),
+    )
 
 
 def is_primary() -> bool:

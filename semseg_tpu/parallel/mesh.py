@@ -65,17 +65,22 @@ def replicate_state(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
+def device_prefetch(iterator, mesh: Mesh, depth: int = 2, put=None):
     """Overlap host→device batch transfer with the running step.
 
     A background thread shards/uploads the next ``depth`` batches while the
     current step executes — the jitted step then never waits on PCIe/ICI
     ingress. (The reference's analogue is the per-GPU CUDA copy streams in
     data_parallel.py:82-112.)
+
+    ``put``: host-batch → device-batch function; defaults to ``shard_batch``
+    (single-host). Multi-host passes ``shard_local_batch`` so per-process
+    local slices are assembled into global sharded arrays off the step path.
     """
     import queue
     import threading
 
+    put = put or (lambda batch: shard_batch(mesh, batch))
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
     errors: list = []
@@ -85,7 +90,7 @@ def device_prefetch(iterator, mesh: Mesh, depth: int = 2):
             for batch in iterator:
                 if stop.is_set():
                     return
-                q.put(shard_batch(mesh, batch))
+                q.put(put(batch))
         except Exception as e:
             errors.append(e)
         finally:

@@ -1,0 +1,74 @@
+"""Driver for the 2-process multi-host integration test (run as subprocess).
+
+Launched twice (process_id 0/1) by tests/test_multihost.py with the
+SEMSEG_COORDINATOR / SEMSEG_NUM_PROCESSES / SEMSEG_PROCESS_ID environment
+variables, each process with 2 virtual CPU devices → a 4-device global
+mesh over Gloo. Exercises the REAL multi-host code path end-to-end:
+
+* ``distributed.initialize()`` env-var handshake (mandatory — failures raise);
+* ``shard_local_batch``: per-process local slices → one global sharded array;
+* a jitted cross-process reduction over the global mesh;
+* ``device_prefetch(..., put=shard_local_batch)`` — the train CLI's
+  multi-host prefetch branch;
+* primary-only checkpointing + a global barrier.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from semseg_tpu.parallel import distributed, mesh as mesh_mod  # noqa: E402
+
+
+def main(out_dir):
+    distributed.initialize()  # env-var path: SEMSEG_COORDINATOR etc.
+    pid = jax.process_index()
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    mesh = mesh_mod.make_mesh()
+    assert mesh.devices.size == 4
+
+    # Per-process local batches -> global sharded arrays, via the prefetch
+    # thread exactly as cli/train.py's multi-host branch does.
+    def local_batches():
+        for step in range(3):
+            yield {
+                "img_data": np.full((2, 8, 8, 3), pid + step, np.float32),
+                "seg_label": np.full((2, 1, 1), pid, np.int32),
+            }
+
+    it = mesh_mod.device_prefetch(
+        local_batches(), mesh, depth=2,
+        put=lambda local: distributed.shard_local_batch(mesh, local),
+    )
+
+    reduce_fn = jax.jit(lambda b: (b["img_data"].mean(), b["seg_label"].sum()))
+    for step, batch in enumerate(it):
+        assert batch["img_data"].shape == (4, 8, 8, 3)  # global shape
+        m, s = reduce_fn(batch)
+        # mean over both processes' slices: (step + step+1)/2
+        np.testing.assert_allclose(float(m), step + 0.5, atol=1e-6)
+        assert int(s) == 2  # 0*2 + 1*2 labels
+
+    # Primary-only checkpointing + barrier (cli/train.py:187-189 semantics).
+    marker = os.path.join(out_dir, "ckpt_marker")
+    if distributed.is_primary():
+        with open(marker, "w") as f:
+            f.write("ok")
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ckpt_written")
+    assert os.path.exists(marker)
+    print(f"MULTIHOST_OK process={pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
