@@ -1,19 +1,27 @@
 #!/usr/bin/env python3
-"""Benchmark: ADE20K-style inference throughput on the flagship model.
+"""Benchmark: ADE20K inference throughput on the flagship model.
 
-Measures single-chip images/sec for ResNet50-dilated + PPM-deepsup
-single-scale inference at the reference's canonical eval resolution (short
-side 450, the middle of imgSizes, rounded to the padding lattice), at the
-throughput-optimal device batch (4 — batch-1 conv inference leaves the MXU
-underfed; the eval engine batches same-bucket images, so this is the real
-deployment shape). Baseline: the reference's single-GPU fps for the same
-model/protocol: 8.3 fps on a Pascal Titan Xp (README.md:113-116,
-BASELINE.md).
+Two measurements, one JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* **MS-protocol** (primary metric): the reference's full multi-scale TTA
+  eval protocol — 5-scale pyramid per image (imgSizes 300..600, capped long
+  side), batched bucketed forwards, softmax-average + argmax + mIoU metrics
+  fully on device (the deployment eval path, cli/eval.py --batch). Baseline:
+  2.6 fps for ResNet50dilated+PPM_deepsup multi-scale on a Pascal Titan Xp
+  (reference README.md:117-120). Timing EXCLUDES host pyramid construction,
+  exactly like the reference's meter (eval.py:56-78 brackets H2D + forwards
+  + scoring only, with pyramids built in dataloader workers).
+* **single-scale** (extra key): one forward per image at the canonical 450
+  short side, batch 4. Baseline: 8.3 fps (README.md:113-116).
+
+Timing rule for the axon-tunneled TPU: dispatch-loop wall time lies
+(block_until_ready returns early). Single-scale chains forwards inside one
+jit via lax.scan; the MS path is timed end-to-end across its device calls
+with a host fetch as the barrier, best-of-3 against link noise.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -21,10 +29,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_FPS = 8.3  # ResNet50dilated + PPM_deepsup, single-scale, Titan Xp
+BASELINE_MS_FPS = 2.6  # r50dilated+ppm_deepsup, 5-scale TTA, Titan Xp
+BASELINE_SS_FPS = 8.3  # same model, single-scale
+
+# Modal ADE20K val image shape (576x768 landscape, the most common aspect);
+# its 5-scale pyramid at the throughput lattice (bucket 32).
+ORI_SHAPE = (512, 683)
+N_IMAGES = 16
+MS_BUCKET = 32
 
 
-def main():
+def build_model():
     from semseg_tpu.config import cfg
     from semseg_tpu.models import ModelBuilder, init_variables
 
@@ -32,26 +47,19 @@ def main():
     c.MODEL.arch_encoder = "resnet50dilated"
     c.MODEL.arch_decoder = "ppm_deepsup"
     c.MODEL.fc_dim = 2048
-
     model = ModelBuilder.build_model(c, dtype=jnp.bfloat16)
     variables = init_variables(model, seed=0, image_size=(64, 64))
+    return c, model, variables
 
-    # ADE20K val mean size is ~ 450x600 at the 450 short-side scale; use the
-    # bucketed shape the eval engine would run (multiples of 32).
-    h, w = 448, 608
-    batch = 4
 
-    iters = 20
+def bench_single_scale(model, variables):
+    h, w, batch, iters = 448, 608, 4, 20
 
-    # The whole timing loop lives inside ONE jit (lax.scan with a data
-    # dependency between iterations): per-dispatch RPC overhead is excluded
-    # and XLA cannot elide any forward.
     @jax.jit
     def timed_forwards(variables, img):
         def body(carry, _):
             logits = model.apply(variables, carry, train=False)
-            # feed a scalar of the output back into the next input so the
-            # chain is sequential and un-removable
+            # scalar feedback makes the chain sequential and un-removable
             carry = carry + jnp.mean(logits).astype(carry.dtype) * 1e-6
             return carry, jnp.mean(logits)
 
@@ -61,25 +69,118 @@ def main():
     img = jnp.asarray(
         np.random.RandomState(0).randn(batch, h, w, 3), jnp.float32
     )
-
     np.asarray(timed_forwards(variables, img))  # compile + warmup
     dt = float("inf")
-    for _ in range(3):  # best-of-3: the tunneled device link is noisy
+    for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(timed_forwards(variables, img))  # host fetch forces completion
+        np.asarray(timed_forwards(variables, img))
         dt = min(dt, time.perf_counter() - t0)
+    return batch * iters / dt
 
-    fps = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "resnet50dilated+ppm_deepsup single-scale inference",
-                "value": round(fps, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
-        )
+
+def bench_ms_protocol(cfg_node, model, variables):
+    """5-scale TTA + on-device metrics via the real BatchedInferenceEngine."""
+    from semseg_tpu.data.transforms import round2nearest_multiple, scale_for
+    from semseg_tpu.engine import BatchedInferenceEngine
+
+    rng = np.random.RandomState(0)
+    oh, ow = ORI_SHAPE
+    sizes = cfg_node.DATASET.imgSizes
+    pyramids = []
+    labels = []
+    for _ in range(N_IMAGES):
+        levels = []
+        for s in sizes:
+            sc = scale_for(oh, ow, s, cfg_node.DATASET.imgMaxSize)
+            th = round2nearest_multiple(int(oh * sc), MS_BUCKET)
+            tw = round2nearest_multiple(int(ow * sc), MS_BUCKET)
+            levels.append(rng.randint(0, 255, (1, th, tw, 3)).astype(np.uint8))
+        pyramids.append(levels)
+        labels.append(rng.randint(-1, 150, (oh, ow)).astype(np.int32))
+
+    engine = BatchedInferenceEngine(
+        model,
+        variables,
+        num_class=150,
+        output_stride=cfg_node.DATASET.segm_downsampling_rate,
+        bucket_step=MS_BUCKET,
+        batch_size=4,
+        fetch_dtype="bfloat16",
     )
+    engine.batched_metrics(pyramids[:4], labels[:4])  # compile + warmup
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = engine.batched_metrics(pyramids, labels)
+        assert len(out) == N_IMAGES
+        dt = min(dt, time.perf_counter() - t0)
+    return N_IMAGES / dt
+
+
+def bench_train(cfg_node, model, variables):
+    """Train-step throughput at the recommended per-chip batch (8)."""
+    from semseg_tpu.parallel.train_step import (
+        create_train_state,
+        jitted_train_step,
+    )
+
+    c = cfg_node.clone()
+    state = create_train_state(c, model, variables)
+    step_fn = jitted_train_step()
+    rng = np.random.RandomState(0)
+    batch, h, w = 8, 448, 608
+    ds = c.DATASET.segm_downsampling_rate
+    batch_d = {
+        "img_data": jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32),
+        "seg_label": jnp.asarray(
+            rng.randint(-1, 150, (batch, h // ds, w // ds)), jnp.int32
+        ),
+    }
+    key = jax.random.PRNGKey(0)
+    state, metrics = step_fn(state, batch_d, key)
+    float(metrics["loss"])  # compile + warmup barrier
+    steps = 10
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, batch_d, key)
+        float(metrics["loss"])  # chain barrier
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
+
+
+def main():
+    cfg_node, model, variables = build_model()
+    ss_fps = bench_single_scale(model, variables)
+    if os.environ.get("SEMSEG_BENCH_FAST"):
+        ms_fps = train_fps = None
+    else:
+        ms_fps = bench_ms_protocol(cfg_node, model, variables)
+        try:
+            train_fps = bench_train(cfg_node, model, variables)
+        except Exception:
+            train_fps = None
+
+    if ms_fps is not None:
+        out = {
+            "metric": "resnet50dilated+ppm_deepsup 5-scale TTA eval protocol",
+            "value": round(ms_fps, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ms_fps / BASELINE_MS_FPS, 2),
+            "single_scale_fps": round(ss_fps, 2),
+            "single_scale_vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
+        }
+        if train_fps is not None:
+            out["train_img_per_s_bs8"] = round(train_fps, 1)
+    else:
+        out = {
+            "metric": "resnet50dilated+ppm_deepsup single-scale inference",
+            "value": round(ss_fps, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (single chip), with A/B knobs.
+
+Measures steady-state images/sec and effective TFLOP/s of the full jitted
+train step (forward + loss + backward + two-group SGD + BN stat update,
+donated buffers) for the flagship resnet50dilated+ppm_deepsup at a
+representative train-batch shape, across batch sizes and remat on/off.
+
+Timing rule for the axon-tunneled TPU (PERF_NOTES.md): never trust
+dispatch-loop wall time — ``block_until_ready`` returns early through this
+link. Steps are chained through the donated TrainState (true data
+dependency), and a scalar fetch from the FINAL state is the completion
+barrier; best-of-3 guards against transient link degradation.
+
+Usage: python benchmarks/train_bench.py [--shape 512 672] [--steps 12]
+Prints one JSON line per (batch, remat) config.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", type=int, nargs=2, default=(512, 672),
+                    help="train batch H W (bucket-64 lattice)")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--batches", type=int, nargs="+", default=[2, 4, 8, 16])
+    ap.add_argument("--arch", default="resnet50dilated")
+    ap.add_argument("--decoder", default="ppm_deepsup")
+    ap.add_argument("--fc-dim", type=int, default=2048)
+    args = ap.parse_args()
+
+    from semseg_tpu.config import cfg
+    from semseg_tpu.models import ModelBuilder, init_variables
+    from semseg_tpu.parallel.train_step import (
+        create_train_state,
+        jitted_train_step,
+    )
+
+    h, w = args.shape
+    results = []
+    for remat in (False, True):
+        for batch in args.batches:
+            c = cfg.clone()
+            c.MODEL.arch_encoder = args.arch
+            c.MODEL.arch_decoder = args.decoder
+            c.MODEL.fc_dim = args.fc_dim
+            c.TPU.remat = remat
+            c.TPU.compute_dtype = "bfloat16"
+
+            model = ModelBuilder.build_model(c, dtype=jnp.bfloat16)
+            variables = init_variables(model, seed=0, image_size=(64, 64))
+            state = create_train_state(c, model, variables)
+            step_fn = jitted_train_step()
+
+            rng = np.random.RandomState(0)
+            ds = c.DATASET.segm_downsampling_rate
+            img = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
+            lab = jnp.asarray(
+                rng.randint(-1, 150, (batch, h // ds, w // ds)), jnp.int32
+            )
+            key = jax.random.PRNGKey(0)
+            batch_d = {"img_data": img, "seg_label": lab}
+
+            try:
+                # AOT-compile once; cost_analysis gives the exact FLOPs of
+                # the whole step on this backend.
+                t0 = time.perf_counter()
+                compiled = step_fn.lower(state, batch_d, key).compile()
+                compile_s = time.perf_counter() - t0
+                flops = None
+                try:
+                    cost = compiled.cost_analysis()
+                    ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+                    if ca:
+                        flops = ca.get("flops")
+                except Exception:
+                    flops = None
+                step_fn = compiled
+
+                state, metrics = step_fn(state, batch_d, key)
+                float(metrics["loss"])  # warmup barrier
+
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        state, metrics = step_fn(state, batch_d, key)
+                    float(metrics["loss"])  # chain barrier
+                    best = min(best, time.perf_counter() - t0)
+                img_s = batch * args.steps / best
+                tflops = (
+                    round(flops * args.steps / best / 1e12, 1)
+                    if flops
+                    else None
+                )
+                rec = {
+                    "batch": batch,
+                    "remat": remat,
+                    "shape": [h, w],
+                    "img_per_s": round(img_s, 1),
+                    "step_s": round(best / args.steps, 4),
+                    "compile_s": round(compile_s, 1),
+                    "tflop_per_s": tflops,
+                }
+            except Exception as e:  # OOM etc: record and continue
+                rec = {
+                    "batch": batch,
+                    "remat": remat,
+                    "shape": [h, w],
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,10 +55,14 @@ class TrainLoader:
             self._errors.append(e)
 
     def __iter__(self) -> Iterator[dict]:
+        # Capture the exception class in a local: at interpreter shutdown,
+        # module globals are torn down to None and a still-alive generator's
+        # finalization would otherwise evaluate `queue.Empty` as None.
+        empty = queue.Empty
         while True:
             try:
                 yield self.queue.get(timeout=1.0)
-            except queue.Empty:
+            except empty:
                 if self._errors:
                     raise RuntimeError("TrainLoader worker failed") from self._errors[0]
                 if not any(t.is_alive() for t in self._threads):

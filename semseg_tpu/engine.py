@@ -312,8 +312,11 @@ class BatchedInferenceEngine(InferenceEngine):
         Exact ``utils.accuracy`` / ``intersectionAndUnion`` semantics
         (reference utils.py:128-156): unlabeled pixels (-1; includes canvas
         padding) are excluded, and predictions on unlabeled pixels count
-        toward neither histogram. Only 2 scalars + 3 length-C vectors cross
-        the device→host link per image.
+        toward neither histogram. Returns ONE packed f32 vector
+        ``[acc_sum, pix_sum, inter(C), union(C)]`` so a whole chunk's
+        metrics cross the (high-latency) device→host link as a single
+        fetch instead of 4 RPCs per image. f32 counts are exact below
+        2^24 pixels — far above any ADE image.
         """
 
         @jax.jit
@@ -330,7 +333,13 @@ class BatchedInferenceEngine(InferenceEngine):
             area_pred = jnp.sum(p1, axis=(0, 1))
             area_lab = jnp.sum(l1, axis=(0, 1))
             union = area_pred + area_lab - inter
-            return acc_sum, pix_sum, inter, union
+            return jnp.concatenate(
+                [
+                    jnp.stack([acc_sum, pix_sum]).astype(jnp.float32),
+                    inter,
+                    union,
+                ]
+            )
 
         return run
 
@@ -398,6 +407,10 @@ class BatchedInferenceEngine(InferenceEngine):
 
         ``labels``: per-item (H, W) int arrays (-1 = void). Returns a list of
         (acc_sum, pix_sum, intersection, union) numpy tuples.
+
+        All per-item metric vectors stay on device until the end, then come
+        back in ONE stacked fetch — on a high-latency link, per-item fetches
+        (4 RPCs/image) would otherwise dominate the whole protocol.
         """
         seg_sizes = [lab.shape for lab in labels]
         groups = self._group_by_bucket(items, self.bucket_step)
@@ -409,7 +422,12 @@ class BatchedInferenceEngine(InferenceEngine):
             return self._metrics_fn(acc, jnp.asarray(lab))
 
         out = self._accumulate_on_device(items, seg_sizes, groups, finalize)
-        return [tuple(np.asarray(v) for v in metrics) for metrics in out]
+        packed = np.asarray(jnp.stack(out))  # single D2H transfer
+        C = self.num_class
+        return [
+            (row[0], row[1], row[2 : 2 + C], row[2 + C : 2 + 2 * C])
+            for row in packed
+        ]
 
     def _device_postproc_predict(self, items, seg_sizes, groups):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
