@@ -117,6 +117,42 @@ def bench_ms_protocol(cfg_node, model, variables):
     return N_IMAGES / dt
 
 
+def bench_ms_device_pyramid(cfg_node, model, variables):
+    """5-scale TTA with DEVICE-derived pyramids: one original upload per
+    image (~5.7x less H2D than host pyramids)."""
+    from semseg_tpu.engine import DevicePyramidEngine
+
+    rng = np.random.RandomState(0)
+    oh, ow = ORI_SHAPE
+    originals = [
+        rng.randint(0, 255, (oh, ow, 3)).astype(np.uint8)
+        for _ in range(N_IMAGES)
+    ]
+    labels = [
+        rng.randint(-1, 150, (oh, ow)).astype(np.int32)
+        for _ in range(N_IMAGES)
+    ]
+    engine = DevicePyramidEngine(
+        model,
+        variables,
+        num_class=150,
+        output_stride=cfg_node.DATASET.segm_downsampling_rate,
+        bucket_step=MS_BUCKET,
+        batch_size=4,
+        fetch_dtype="bfloat16",
+        img_sizes=cfg_node.DATASET.imgSizes,
+        img_max_size=cfg_node.DATASET.imgMaxSize,
+    )
+    engine.batched_metrics_from_originals(originals[:4], labels[:4])  # warmup
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = engine.batched_metrics_from_originals(originals, labels)
+        assert len(out) == N_IMAGES
+        dt = min(dt, time.perf_counter() - t0)
+    return N_IMAGES / dt
+
+
 def bench_train(cfg_node, model, variables):
     """Train-step throughput at the recommended per-chip batch (8)."""
     from semseg_tpu.parallel.train_step import (
@@ -154,9 +190,13 @@ def main():
     cfg_node, model, variables = build_model()
     ss_fps = bench_single_scale(model, variables)
     if os.environ.get("SEMSEG_BENCH_FAST"):
-        ms_fps = train_fps = None
+        ms_fps = train_fps = dp_fps = None
     else:
         ms_fps = bench_ms_protocol(cfg_node, model, variables)
+        try:
+            dp_fps = bench_ms_device_pyramid(cfg_node, model, variables)
+        except Exception:
+            dp_fps = None
         try:
             train_fps = bench_train(cfg_node, model, variables)
         except Exception:
@@ -171,6 +211,16 @@ def main():
             "single_scale_fps": round(ss_fps, 2),
             "single_scale_vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
         }
+        if dp_fps is not None and dp_fps > ms_fps:
+            # device-derived pyramids (one original upload per image) are
+            # the deployment fast path; report the better MS number as the
+            # headline and keep the host-pyramid number alongside.
+            out["ms_host_pyramid_fps"] = round(ms_fps, 2)
+            out["value"] = round(dp_fps, 2)
+            out["vs_baseline"] = round(dp_fps / BASELINE_MS_FPS, 2)
+            out["metric"] += " (device-derived pyramids)"
+        elif dp_fps is not None:
+            out["ms_device_pyramid_fps"] = round(dp_fps, 2)
         if train_fps is not None:
             out["train_img_per_s_bs8"] = round(train_fps, 1)
     else:

@@ -254,10 +254,16 @@ class TrainDataset(BaseDataset):
 
 
 class ValDataset(BaseDataset):
-    def __init__(self, root_dataset, odgt, opt, *, device_preprocess=False, **kwargs):
+    def __init__(self, root_dataset, odgt, opt, *, device_preprocess=False,
+                 device_pyramid_canvas=None, **kwargs):
         super().__init__(odgt, opt, **kwargs)
         self.root_dataset = root_dataset
         self.device_preprocess = device_preprocess
+        # Device-side pyramid mode: originals that fit this (H, W) canvas
+        # skip host pyramid construction entirely (the engine derives every
+        # scale on device from ``img_ori``); oversized originals keep the
+        # host pyramid as fallback.
+        self.device_pyramid_canvas = device_pyramid_canvas
 
     def __len__(self):
         return self.num_sample
@@ -271,9 +277,18 @@ class ValDataset(BaseDataset):
         assert segm.mode == "L"
         assert img.size == segm.size
 
+        skip_pyramid = (
+            self.device_pyramid_canvas is not None
+            and img.size[1] <= self.device_pyramid_canvas[0]
+            and img.size[0] <= self.device_pyramid_canvas[1]
+        )
         return {
             "img_ori": np.asarray(img),
-            "img_data": self.multi_scale_pyramid(img, raw=self.device_preprocess),
+            "img_data": (
+                []
+                if skip_pyramid
+                else self.multi_scale_pyramid(img, raw=self.device_preprocess)
+            ),
             "seg_label": segm_transform(segm)[None],
             "info": rec["fpath_img"],
         }

@@ -103,14 +103,16 @@ def oracle(tmp_path_factory):
     }
 
 
-def _run_ours(oracle, *, exact, batch=0, fetch_dtype=None, bucket=None):
+def _run_ours(oracle, *, exact, batch=0, fetch_dtype=None, bucket=None,
+              device_pyramid=False):
     from semseg_tpu.cli.eval import build_engines, evaluate
 
     c = oracle["cfg"]
     if bucket:
         c.TPU.eval_bucket_step = bucket
     engines = build_engines(
-        c, num_devices=1, exact=exact, batch=batch, fetch_dtype=fetch_dtype
+        c, num_devices=1, exact=exact, batch=batch, fetch_dtype=fetch_dtype,
+        device_pyramid=device_pyramid,
     )
     dataset = ValDataset(
         c.DATASET.root_dataset,
@@ -118,6 +120,9 @@ def _run_ours(oracle, *, exact, batch=0, fetch_dtype=None, bucket=None):
         c.DATASET,
         device_preprocess=not exact,
         bucket_step=None if exact else c.TPU.eval_bucket_step,
+        device_pyramid_canvas=(
+            engines[0].ori_canvas if device_pyramid else None
+        ),
     )
     loader = EvalLoader(dataset, num_workers=2, prefetch=4)
     logger = logging.getLogger("oracle")
@@ -170,6 +175,22 @@ def test_bucketed_step16_drift_bounded(oracle):
     print(f"\n[oracle] bucketed step16 dmIoU={dm:.2e} dacc={da:.2e} dclass={dclass:.2e}")
     assert dm <= 1.5e-3, (miou, oracle["ref_miou"])
     assert da <= 4e-3, (acc, oracle["ref_acc"])
+
+
+def test_device_pyramid_drift(oracle):
+    """Device-derived pyramids (one original upload, antialiased on-device
+    resize) vs the reference: the only divergence from the default bucketed
+    path is Pillow's fixed-point resize rounding (<=1/255 per pixel)."""
+    miou, acc, iou = _run_ours(
+        oracle, exact=False, batch=4, fetch_dtype="bfloat16", bucket=8,
+        device_pyramid=True,
+    )
+    dm = abs(miou - oracle["ref_miou"])
+    da = abs(acc - oracle["ref_acc"])
+    dclass = np.abs(iou - oracle["ref_iou"]).max()
+    print(f"\n[oracle] device-pyramid dmIoU={dm:.2e} dacc={da:.2e} dclass={dclass:.2e}")
+    assert dm <= 1e-3, (miou, oracle["ref_miou"])
+    assert da <= 1e-3, (acc, oracle["ref_acc"])
 
 
 def test_batched_device_metrics_drift(oracle):
