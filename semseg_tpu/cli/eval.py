@@ -208,6 +208,14 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
 
 def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                   fetch_dtype=None, device_pyramid=False):
+    from semseg_tpu.data.dataset import _effective_lattice
+
+    # The engine's grouping lattice must equal the dataset's resize lattice
+    # (and both must keep the architecture's padding_constant alignment —
+    # 32 for UPerNet/HRNet configs).
+    eval_step = _effective_lattice(
+        cfg.TPU.eval_bucket_step, cfg.DATASET.padding_constant
+    )
     model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
     variables = init_variables(
         model, image_size=(cfg.DATASET.padding_constant * 8,) * 2
@@ -230,7 +238,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                 variables,
                 num_class=cfg.DATASET.num_class,
                 output_stride=output_stride_for(cfg),
-                bucket_step=cfg.TPU.eval_bucket_step,
+                bucket_step=eval_step,
                 exact=exact,
                 spatial_mesh=make_mesh(spatial),
             )
@@ -242,7 +250,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
         kw = dict(
             num_class=cfg.DATASET.num_class,
             output_stride=output_stride_for(cfg),
-            bucket_step=cfg.TPU.eval_bucket_step,
+            bucket_step=eval_step,
             exact=exact,
             fetch_dtype=fetch_dtype,
         )

@@ -54,6 +54,15 @@ def _native_ok() -> bool:
         return False
 
 
+def _effective_lattice(bucket_step, padding_constant: int) -> int:
+    """Smallest lattice >= bucket_step that keeps padding_constant alignment."""
+    if not bucket_step:
+        return padding_constant
+    if bucket_step % padding_constant == 0:
+        return bucket_step
+    return ((bucket_step - 1) // padding_constant + 1) * padding_constant
+
+
 def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
     """Parse a .odgt manifest (one JSON record per line, dataset.py:38-51)."""
     if isinstance(odgt, list):
@@ -100,7 +109,10 @@ class BaseDataset:
             if isinstance(self.imgSizes, (list, tuple))
             else (self.imgSizes,)
         )
-        rounding = self.eval_bucket_step or self.padding_constant
+        # The lattice must preserve the architecture's alignment constraint:
+        # UPerNet/HRNet configs pad to 32 (padding_constant), so a finer
+        # requested bucket_step rounds up to it.
+        rounding = _effective_lattice(self.eval_bucket_step, self.padding_constant)
         out = []
         for short_size in sizes:
             scale = scale_for(ori_height, ori_width, short_size, self.imgMaxSize)

@@ -143,3 +143,35 @@ def test_metrics_from_originals_match_host_pyramids(model_and_vars, rng):
         assert abs(ha - da) / max(hp, 1) < 0.02, (ha, da, hp)
         assert np.abs(hi - di).sum() / max(hp, 1) < 0.02
         assert np.abs(hu - du).sum() / max(hp, 1) < 0.04
+
+
+def test_effective_lattice_respects_padding_constant():
+    """UPerNet/HRNet configs pad to 32; a finer eval lattice must round up
+    so pyramid dims keep the architecture's alignment."""
+    from semseg_tpu.data.dataset import _effective_lattice
+
+    assert _effective_lattice(8, 8) == 8
+    assert _effective_lattice(8, 32) == 32
+    assert _effective_lattice(16, 32) == 32
+    assert _effective_lattice(32, 32) == 32
+    assert _effective_lattice(48, 32) == 64
+    assert _effective_lattice(64, 32) == 64
+    assert _effective_lattice(None, 32) == 32
+    assert _effective_lattice(0, 8) == 8
+
+    # End-to-end: ValDataset with a 32-pad config and bucket_step 8 must
+    # produce 32-aligned pyramid dims.
+    opt = cfg.DATASET.clone()
+    opt.imgSizes = (144,)
+    opt.imgMaxSize = 320
+    opt.padding_constant = 32
+    from semseg_tpu.data.dataset import BaseDataset
+
+    ds = BaseDataset(
+        [{"fpath_img": "x", "fpath_segm": "y", "width": 263, "height": 197}],
+        opt,
+        bucket_step=8,
+    )
+    img = Image.fromarray(np.zeros((197, 263, 3), np.uint8))
+    for level in ds.multi_scale_pyramid(img, raw=True):
+        assert level.shape[1] % 32 == 0 and level.shape[2] % 32 == 0, level.shape
