@@ -7,6 +7,16 @@ SURVEY.md §4.
 
 import os
 
+# Subprocess-based tests (test_multihost, test_train_parity) re-exec the
+# interpreter with cwd=tests/; make the package importable there regardless
+# of how the parent pytest found it (rootdir cwd vs installed vs PYTHONPATH).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO_ROOT
+)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
