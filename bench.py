@@ -53,7 +53,11 @@ def build_model():
 
 
 def bench_single_scale(model, variables):
-    h, w, batch, iters = 448, 608, 4, 20
+    # Batch 16: measured forward scaling 230.6 / 251.3 / 261.8 img/s at
+    # batch 4/8/16 (PERF_NOTES "Batch scaling, inference") — the 256-ch
+    # stage-3 convs tile the MXU ~1.8x better with more rows. Deployment
+    # picks its own batch; this reports the throughput-optimal point.
+    h, w, batch, iters = 448, 608, 16, 20
 
     @jax.jit
     def timed_forwards(variables, img):

@@ -24,26 +24,31 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def timed(fn, *args, iters=20, chain=True):
-    """Best-of-3 wall time of `iters` chained applications under one jit."""
+def timed(fn, x, w, iters=20):
+    """Best-of-3 wall time of `iters` chained applications under one jit.
+
+    `fn(x, w)` must close over any static config (dilation) itself.
+    """
 
     @jax.jit
-    def loop(x, args):
+    def loop(x, w):
         def body(carry, _):
-            y = fn(carry, *args)
+            y = fn(carry, w)
             # tiny scalar feedback keeps the chain sequential
             carry = carry + jnp.mean(y).astype(carry.dtype) * 1e-6
             return carry, ()
 
         out, _ = lax.scan(body, x, None, length=iters)
-        return out
+        # Fetch a SCALAR: fetching the full activation over the axon tunnel
+        # (~35 MB/s) would swamp the compute being measured (first version
+        # of this script read 1.3 TFLOP/s for a 68 TFLOP/s matmul that way).
+        return jnp.mean(out)
 
-    x, rest = args[0], args[1:]
-    np.asarray(loop(x, rest))  # compile + warmup
+    float(loop(x, w))  # compile + warmup
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(loop(x, rest))
+        float(loop(x, w))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -81,12 +86,12 @@ def main():
         wgt = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, jnp.bfloat16)
         flops = 2 * n * h * w_ * c * c * 9
         rows = []
-        for label, f, dd in [
-            ("dense d1 (ceiling)", conv, 1),
-            (f"XLA dilated d{d}", conv, d),
-            (f"space-to-batch d{d}", s2b_conv, d),
+        for label, f in [
+            ("dense d1 (ceiling)", lambda x, w: conv(x, w, 1)),
+            (f"XLA dilated d{d}", lambda x, w: conv(x, w, d)),
+            (f"space-to-batch d{d}", lambda x, w: s2b_conv(x, w, d)),
         ]:
-            dt = timed(f, x, wgt, dd)
+            dt = timed(f, x, wgt)
             rows.append((label, flops / dt / 1e12))
         # numerics: s2b must equal XLA dilated exactly (same conv algebra)
         ref = np.asarray(conv(x, wgt, d), np.float32)
