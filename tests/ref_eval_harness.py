@@ -167,6 +167,59 @@ def make_synthetic_valset(root, *, sizes, per_size=4, num_class=150, seed=11):
 # Calibrated torch model
 # ---------------------------------------------------------------------------
 
+def _reference_decoder_factory(dec_arch):
+    """Decoder constructor for every reference arch key (models.py:63-110),
+    including the UPerNet fpn_dim/fpn_inplanes wiring the builder applies."""
+    from mit_semseg.models import models as ref_models
+
+    return {
+        "c1": ref_models.C1,
+        "c1_deepsup": ref_models.C1DeepSup,
+        "ppm": ref_models.PPM,
+        "ppm_deepsup": ref_models.PPMDeepsup,
+        "upernet": lambda **kw: ref_models.UPerNet(fpn_dim=512, **kw),
+        "upernet_lite": lambda **kw: ref_models.UPerNet(
+            fpn_dim=256, fpn_inplanes=(64, 128, 256, 512), **kw
+        ),
+    }[dec_arch]
+
+
+def _build_reference_modules(enc_arch, dec_arch, fc_dim, num_class):
+    """Fresh reference encoder + train-mode decoder for any zoo arch pair.
+
+    Mirrors the reference ModelBuilder (models.py:34-110) with
+    pretrained=False; caller is responsible for torch.manual_seed."""
+    _install_shims()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from mit_semseg.models import hrnet as ref_hrnet
+    from mit_semseg.models import mobilenet as ref_mobilenet
+    from mit_semseg.models import models as ref_models
+    from mit_semseg.models import resnet as ref_resnet
+    from mit_semseg.models import resnext as ref_resnext
+
+    if enc_arch == "mobilenetv2dilated":
+        enc = ref_models.MobileNetV2Dilated(
+            ref_mobilenet.mobilenetv2(pretrained=False), dilate_scale=8
+        )
+    elif enc_arch == "hrnetv2":
+        enc = ref_hrnet.hrnetv2(pretrained=False)
+    elif enc_arch == "resnext101":
+        enc = ref_models.Resnet(ref_resnext.resnext101(pretrained=False))
+    elif enc_arch.endswith("dilated"):
+        enc = ref_models.ResnetDilated(
+            getattr(ref_resnet, enc_arch.replace("dilated", ""))(pretrained=False),
+            dilate_scale=8,
+        )
+    else:
+        enc = ref_models.Resnet(getattr(ref_resnet, enc_arch)(pretrained=False))
+
+    dec_cls = _reference_decoder_factory(dec_arch)
+    dec = dec_cls(num_class=num_class, fc_dim=fc_dim, use_softmax=False)
+    dec.apply(ref_models.ModelBuilder.weights_init)
+    return enc, dec
+
+
 def build_calibrated_torch_model(
     enc_arch, dec_arch, fc_dim, *, num_class=150, calib_images=None,
     calib_steps=16, seed=0,
@@ -180,34 +233,11 @@ def build_calibrated_torch_model(
     """
     import torch
 
-    _install_shims()
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    from mit_semseg.models import models as ref_models
-    from mit_semseg.models import mobilenet as ref_mobilenet
-    from mit_semseg.models import resnet as ref_resnet
-
     torch.manual_seed(seed)
-    if enc_arch == "mobilenetv2dilated":
-        enc = ref_models.MobileNetV2Dilated(
-            ref_mobilenet.mobilenetv2(pretrained=False), dilate_scale=8
-        )
-    elif enc_arch.endswith("dilated"):
-        enc = ref_models.ResnetDilated(
-            getattr(ref_resnet, enc_arch.replace("dilated", ""))(pretrained=False),
-            dilate_scale=8,
-        )
-    else:
-        enc = ref_models.Resnet(getattr(ref_resnet, enc_arch)(pretrained=False))
-
-    dec_cls = {
-        "c1": ref_models.C1,
-        "c1_deepsup": ref_models.C1DeepSup,
-        "ppm": ref_models.PPM,
-        "ppm_deepsup": ref_models.PPMDeepsup,
-    }[dec_arch]
-    dec_train = dec_cls(num_class=num_class, fc_dim=fc_dim, use_softmax=False)
-    dec_train.apply(ref_models.ModelBuilder.weights_init)
+    enc, dec_train = _build_reference_modules(
+        enc_arch, dec_arch, fc_dim, num_class
+    )
+    dec_cls = _reference_decoder_factory(dec_arch)
 
     # Calibrate BN running stats: raise momentum, run train-mode forwards.
     for mod in (enc, dec_train):
@@ -249,7 +279,7 @@ def build_calibrated_torch_model(
 def train_reference_model(
     enc_arch, dec_arch, fc_dim, *, root, n_images, num_class=150,
     train_hw=(96, 128), steps=250, batch=2, lr=0.02, deep_sup_scale=0.4,
-    seed=0,
+    downsample=8, seed=0,
 ):
     """Train reference modules on the synthetic set (torch CPU, SGD).
 
@@ -265,35 +295,12 @@ def train_reference_model(
     import torch
     from PIL import Image
 
-    _install_shims()
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-    from mit_semseg.models import models as ref_models
-    from mit_semseg.models import mobilenet as ref_mobilenet
-    from mit_semseg.models import resnet as ref_resnet
-
     from semseg_tpu.data.transforms import img_transform, imresize
 
     torch.manual_seed(seed)
-    if enc_arch == "mobilenetv2dilated":
-        enc = ref_models.MobileNetV2Dilated(
-            ref_mobilenet.mobilenetv2(pretrained=False), dilate_scale=8
-        )
-    elif enc_arch.endswith("dilated"):
-        enc = ref_models.ResnetDilated(
-            getattr(ref_resnet, enc_arch.replace("dilated", ""))(pretrained=False),
-            dilate_scale=8,
-        )
-    else:
-        enc = ref_models.Resnet(getattr(ref_resnet, enc_arch)(pretrained=False))
-    dec_cls = {
-        "c1": ref_models.C1,
-        "c1_deepsup": ref_models.C1DeepSup,
-        "ppm": ref_models.PPM,
-        "ppm_deepsup": ref_models.PPMDeepsup,
-    }[dec_arch]
-    dec = dec_cls(num_class=num_class, fc_dim=fc_dim, use_softmax=False)
-    dec.apply(ref_models.ModelBuilder.weights_init)
+    enc, dec = _build_reference_modules(enc_arch, dec_arch, fc_dim, num_class)
+    from mit_semseg.models import models as ref_models
+
     for mod in (enc, dec):
         for m in mod.modules():
             if "BatchNorm" in type(m).__name__:
@@ -317,7 +324,10 @@ def train_reference_model(
             np.transpose(img_transform(imresize(img, (tw, th), "bilinear")), (2, 0, 1))
         )
         labs.append(
-            np.asarray(imresize(seg, (tw // 8, th // 8), "nearest"), np.int64) - 1
+            np.asarray(
+                imresize(seg, (tw // downsample, th // downsample), "nearest"),
+                np.int64,
+            ) - 1
         )
     imgs = np.stack(imgs)
     labs = np.stack(labs)
@@ -337,7 +347,9 @@ def train_reference_model(
         opt.step()
         final_acc = float(acc.mean())
 
-    dec_eval = dec_cls(num_class=num_class, fc_dim=fc_dim, use_softmax=True)
+    dec_eval = _reference_decoder_factory(dec_arch)(
+        num_class=num_class, fc_dim=fc_dim, use_softmax=True
+    )
     dec_eval.load_state_dict(dec.state_dict())
     return enc.eval(), dec_eval.eval(), final_acc
 
