@@ -28,21 +28,30 @@ ZOO = [
 ]
 
 
-def timed_fps(model, variables, h, w, iters):
+def timed_fps(model, variables, h, w, iters, batch):
+    # Batch 16 by default: the 256-wide stages are MXU-tiling bound and
+    # need many output rows to fill the array (measured 230->262 img/s on
+    # the flagship going 4->16; PERF_NOTES "Batch scaling, inference").
     @jax.jit
     def timed(variables, img):
         def body(carry, _):
             logits = model.apply(variables, carry, train=False)
             carry = carry + jnp.mean(logits).astype(carry.dtype) * 1e-6
-            return carry, jnp.mean(logits)
+            return carry, ()
 
-        return jax.lax.scan(body, img, None, length=iters)[1]
+        out, _ = jax.lax.scan(body, img, None, length=iters)
+        return jnp.mean(out)
 
-    img = jnp.asarray(np.random.RandomState(0).randn(1, h, w, 3), jnp.float32)
-    np.asarray(timed(variables, img))
-    t0 = time.perf_counter()
-    np.asarray(timed(variables, img))
-    return iters / (time.perf_counter() - t0)
+    img = jnp.asarray(
+        np.random.RandomState(0).randn(batch, h, w, 3), jnp.float32
+    )
+    float(timed(variables, img))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(timed(variables, img))
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def main():
@@ -51,6 +60,7 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--batch", type=int, default=16)
     args = parser.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -65,7 +75,7 @@ def main():
         pad = c.DATASET.padding_constant
         h = (448 // pad) * pad
         w = (608 // pad) * pad
-        fps = timed_fps(model, variables, h, w, args.iters)
+        fps = timed_fps(model, variables, h, w, args.iters, args.batch)
         results.append(
             {
                 "config": name,
@@ -101,12 +111,18 @@ def main():
     rng = jax.random.PRNGKey(0)
     state, m = step(state, batch, rng)
     np.asarray(m["loss"])  # compile + settle
+    # Best-of-3: the first dispatch after compile pays a one-time
+    # executable-load on the tunneled device (~40 s measured), which a
+    # single warmup step does not flush.
     n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, m = step(state, batch, rng)
-    np.asarray(m["loss"])
-    train_ips = 2 * n / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch, rng)
+        np.asarray(m["loss"])
+        best = min(best, time.perf_counter() - t0)
+    train_ips = 2 * n / best
     results.append(
         {"config": "TRAIN resnet50dilated-ppm_deepsup bs2@448x608",
          "fps": round(train_ips, 1)}

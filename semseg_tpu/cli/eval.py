@@ -113,8 +113,9 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                 if dp_idx:
                     # Device-pyramid items (empty host pyramid): the engine
                     # derives every scale on device from the original.
+                    dp_set = set(dp_idx)
                     host_idx = [
-                        k for k in range(len(chunk)) if k not in set(dp_idx)
+                        k for k in range(len(chunk)) if k not in dp_set
                     ]
                     metrics = [None] * len(chunk)
                     dp_out = engine.batched_metrics_from_originals(
@@ -323,7 +324,17 @@ def main(argv=None):
                 cfg.MODEL.weights_encoder = native
 
     logger = setup_logger()
-    device_pyramid = args.device_pyramid and args.batch > 1 and not args.exact
+    # Visualization runs batched_predict over the HOST pyramids, which are
+    # intentionally empty in device-pyramid mode — so the two are exclusive.
+    device_pyramid = (
+        args.device_pyramid and args.batch > 1 and not args.exact
+        and not cfg.VAL.visualize
+    )
+    if args.device_pyramid and not device_pyramid:
+        logger.warning(
+            "--device-pyramid ignored (requires --batch > 1, no --exact, "
+            "and VAL.visualize False)"
+        )
     engines = build_engines(
         cfg, args.devices, exact=args.exact, spatial=args.spatial,
         batch=args.batch, fetch_dtype=None if args.exact else args.fetch_dtype,

@@ -241,10 +241,18 @@ class BatchedInferenceEngine(InferenceEngine):
     on running statistics and every image keeps its own valid-region mask.
     """
 
-    def __init__(self, *args, batch_size: int = 4, postproc_workers: int = 8, **kw):
+    def __init__(self, *args, batch_size: int = 4, postproc_workers: int = 8,
+                 canvas_budget_mb: int = 4096, **kw):
         super().__init__(*args, **kw)
         self.batch_size = batch_size
         self.postproc_workers = postproc_workers
+        # Upper bound on simultaneously-live per-image f32 score canvases.
+        # Without it, a caller chunk of 32 canvas-limit images would pin
+        # 32 x ~1 GB on a 16 GB chip (each image's levels are spread across
+        # the shared bucket groups, so canvases stay live until the last
+        # group runs). Windows always hold >= 1 image, so the single-image
+        # maximum (ori_canvas at 150 classes, ~1 GB) still fits.
+        self.canvas_budget_bytes = canvas_budget_mb * (1 << 20)
 
     @functools.cached_property
     def _batched_raw_fn(self):
@@ -358,34 +366,51 @@ class BatchedInferenceEngine(InferenceEngine):
                 ).append((i, arr, h, w))
         return groups
 
-    def _accumulate_on_device(self, items, seg_sizes, groups, finalize):
-        """Shared driver: batched forwards + per-image on-device score
-        canvases; calls ``finalize(item_idx, acc_canvas)`` once each image's
-        last scale has been accumulated and returns the finalize results."""
-        os_ = self.output_stride
-        accs: list = [None] * len(items)
-        remaining = [len(p) for p in items]
-        out: list = [None] * len(items)
+    def _forward_host_chunk(self, key, padded_chunk):
+        """Forward one padded host-pyramid chunk; returns (logits, hw_list)."""
+        ph, pw = key
+        batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
+        hs = np.zeros(self.batch_size, np.int32)
+        ws = np.zeros(self.batch_size, np.int32)
+        for j, (_, arr, h, w) in enumerate(padded_chunk):
+            batch[j, :h, :w] = arr[0]
+            hs[j], ws[j] = h, w
+        dev_logits = self._batched_raw_fn(
+            self.variables, jnp.asarray(batch), jnp.asarray(hs),
+            jnp.asarray(ws),
+        )
+        return dev_logits, [(h, w) for (_, _, h, w) in padded_chunk]
 
-        for (ph, pw), tasks in groups.items():
+    def _accumulate_on_device(self, seg_sizes, groups, n_levels,
+                              forward_chunk, finalize):
+        """Shared driver: batched forwards + per-image on-device score
+        canvases.
+
+        ``groups``: {shape_key: [task, ...]} where ``task[0]`` is the item
+        index; ``n_levels``: {item_idx: level count};
+        ``forward_chunk(shape_key, padded_chunk)`` runs one device batch and
+        returns (logits, per-entry valid (h, w) at input resolution);
+        ``finalize(item_idx, acc_canvas)`` is called once each image's last
+        level has been accumulated (its canvas is then freed). Returns
+        {item_idx: finalize result}.
+        """
+        os_ = self.output_stride
+        accs: dict = {}
+        remaining = dict(n_levels)
+        out: dict = {}
+
+        for key, tasks in groups.items():
             for lo in range(0, len(tasks), self.batch_size):
                 chunk = tasks[lo : lo + self.batch_size]
                 # Pad the final chunk to the full batch so each bucket
                 # compiles exactly once; surplus outputs are dropped.
                 padded_chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-                batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
-                hs = np.zeros(self.batch_size, np.int32)
-                ws = np.zeros(self.batch_size, np.int32)
-                for j, (_, arr, h, w) in enumerate(padded_chunk):
-                    batch[j, :h, :w] = arr[0]
-                    hs[j], ws[j] = h, w
-                dev_logits = self._batched_raw_fn(
-                    self.variables, jnp.asarray(batch), jnp.asarray(hs),
-                    jnp.asarray(ws),
-                )
-                for j, (item_idx, _, h, w) in enumerate(chunk):
+                dev_logits, hws = forward_chunk(key, padded_chunk)
+                for j, task in enumerate(chunk):
+                    item_idx = task[0]
+                    h, w = hws[j]
                     H, W = seg_sizes[item_idx]
-                    if accs[item_idx] is None:
+                    if item_idx not in accs:
                         accs[item_idx] = jnp.zeros(
                             (
                                 _round_up(H, self.bucket_step),
@@ -400,9 +425,28 @@ class BatchedInferenceEngine(InferenceEngine):
                     )
                     remaining[item_idx] -= 1
                     if remaining[item_idx] == 0:
-                        out[item_idx] = finalize(item_idx, accs[item_idx])
-                        accs[item_idx] = None  # free the canvas
+                        out[item_idx] = finalize(item_idx, accs.pop(item_idx))
         return out
+
+    def _canvas_windows(self, seg_sizes, item_indices):
+        """Partition items into windows whose summed f32 canvas bytes stay
+        under ``canvas_budget_bytes`` (every window holds >= 1 item)."""
+        windows, cur, cur_bytes = [], [], 0
+        for i in item_indices:
+            H, W = seg_sizes[i]
+            b = (
+                _round_up(H, self.bucket_step)
+                * _round_up(W, self.bucket_step)
+                * self.num_class * 4
+            )
+            if cur and cur_bytes + b > self.canvas_budget_bytes:
+                windows.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += b
+        if cur:
+            windows.append(cur)
+        return windows
 
     def batched_metrics(self, items, labels):
         """Multi-scale predict + metrics fully on device.
@@ -416,8 +460,27 @@ class BatchedInferenceEngine(InferenceEngine):
         """
         assert self.num_class < 255  # uint8 label transport, 255 = void
         seg_sizes = [lab.shape for lab in labels]
-        groups = self._group_by_bucket(items, self.bucket_step)
 
+        out: dict = {}
+        for window in self._canvas_windows(seg_sizes, range(len(items))):
+            in_window = set(window)
+            groups = self._group_by_bucket(
+                [
+                    items[i] if i in in_window else []
+                    for i in range(len(items))
+                ],
+                self.bucket_step,
+            )
+            out.update(
+                self._accumulate_on_device(
+                    seg_sizes, groups, {i: len(items[i]) for i in window},
+                    self._forward_host_chunk,
+                    self._metrics_finalizer(seg_sizes, labels),
+                )
+            )
+        return self._fetch_packed_metrics(out, len(items))
+
+    def _metrics_finalizer(self, seg_sizes, labels):
         def finalize(item_idx, acc):
             H, W = seg_sizes[item_idx]
             lab = np.full(acc.shape[:2], 255, np.uint8)  # 255 = void (-1)
@@ -426,19 +489,36 @@ class BatchedInferenceEngine(InferenceEngine):
             ).astype(np.uint8)
             return self._metrics_fn(acc, jnp.asarray(lab))
 
-        out = self._accumulate_on_device(items, seg_sizes, groups, finalize)
-        packed = np.asarray(jnp.stack(out))  # single D2H transfer
+        return finalize
+
+    def _fetch_packed_metrics(self, out, n_items):
+        """Stack every per-image metric vector and fetch in ONE transfer."""
+        packed = np.asarray(jnp.stack([out[i] for i in range(n_items)]))
         C = self.num_class
         return [
             (row[0], row[1], row[2 : 2 + C], row[2 + C : 2 + 2 * C])
             for row in packed
         ]
 
-    def _device_postproc_predict(self, items, seg_sizes, groups):
+    def _device_postproc_predict(self, items, seg_sizes):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
-        preds = self._accumulate_on_device(
-            items, seg_sizes, groups, lambda _i, acc: self._argmax_fn(acc)
-        )
+        preds: dict = {}
+        for window in self._canvas_windows(seg_sizes, range(len(items))):
+            in_window = set(window)
+            groups = self._group_by_bucket(
+                [
+                    items[i] if i in in_window else []
+                    for i in range(len(items))
+                ],
+                self.bucket_step,
+            )
+            preds.update(
+                self._accumulate_on_device(
+                    seg_sizes, groups, {i: len(items[i]) for i in window},
+                    self._forward_host_chunk,
+                    lambda _i, acc: self._argmax_fn(acc),
+                )
+            )
         return [
             np.asarray(preds[i])[: seg_sizes[i][0], : seg_sizes[i][1]].astype(
                 np.int64
@@ -456,10 +536,11 @@ class BatchedInferenceEngine(InferenceEngine):
         from concurrent.futures import ThreadPoolExecutor
 
         n_items = len(items)
-        groups = self._group_by_bucket(items, self.bucket_step)
 
         if device_postproc:
-            return self._device_postproc_predict(items, seg_sizes, groups)
+            return self._device_postproc_predict(items, seg_sizes)
+
+        groups = self._group_by_bucket(items, self.bucket_step)
 
         # Host-postproc path: per-image score canvases on the host.
         accs = [
@@ -644,7 +725,6 @@ class DevicePyramidEngine(BatchedInferenceEngine):
         """
         assert self.num_class < 255
         seg_sizes = [lab.shape for lab in labels]
-        os_ = self.output_stride
 
         # Upload each original once (padded to the ori_step lattice).
         canvases = []
@@ -657,76 +737,41 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             padded[:h, :w] = ori
             canvases.append(self._embed_fn(jnp.asarray(padded)))
 
-        # Group (item, level) tasks by level bucket.
-        groups: dict = {}
-        plans = []
-        for i, ori in enumerate(originals):
-            plan = self.level_plan(*ori.shape[:2])
-            plans.append(plan)
-            for (th, tw) in plan:
-                groups.setdefault(
-                    (_round_up(th, self.bucket_step),
-                     _round_up(tw, self.bucket_step)), []
-                ).append((i, th, tw))
+        def forward_chunk(key, padded_chunk):
+            lh, lw = key
+            cvs = jnp.stack([canvases[i] for (i, _, _) in padded_chunk])
+            ohs = jnp.asarray(
+                [originals[i].shape[0] for (i, _, _) in padded_chunk],
+                jnp.int32,
+            )
+            ows = jnp.asarray(
+                [originals[i].shape[1] for (i, _, _) in padded_chunk],
+                jnp.int32,
+            )
+            ths_tws = jnp.asarray(
+                [(th, tw) for (_, th, tw) in padded_chunk], jnp.int32
+            )
+            dev_logits = self._pyramid_level_fn(
+                self.variables, cvs, ohs, ows, ths_tws, lh, lw
+            )
+            return dev_logits, [(th, tw) for (_, th, tw) in padded_chunk]
 
-        accs: list = [None] * len(originals)
-        remaining = [len(p) for p in plans]
-        out: list = [None] * len(originals)
-
-        def finalize(item_idx, acc):
-            H, W = seg_sizes[item_idx]
-            lab = np.full(acc.shape[:2], 255, np.uint8)
-            lab[:H, :W] = np.where(
-                labels[item_idx] < 0, 255, labels[item_idx]
-            ).astype(np.uint8)
-            return self._metrics_fn(acc, jnp.asarray(lab))
-
-        for (lh, lw), tasks in groups.items():
-            for lo in range(0, len(tasks), self.batch_size):
-                chunk = tasks[lo : lo + self.batch_size]
-                padded_chunk = chunk + [chunk[-1]] * (
-                    self.batch_size - len(chunk)
+        plans = [self.level_plan(*ori.shape[:2]) for ori in originals]
+        out: dict = {}
+        for window in self._canvas_windows(seg_sizes, range(len(originals))):
+            # Group this window's (item, level) tasks by level bucket.
+            groups: dict = {}
+            for i in window:
+                for (th, tw) in plans[i]:
+                    groups.setdefault(
+                        (_round_up(th, self.bucket_step),
+                         _round_up(tw, self.bucket_step)), []
+                    ).append((i, th, tw))
+            out.update(
+                self._accumulate_on_device(
+                    seg_sizes, groups, {i: len(plans[i]) for i in window},
+                    forward_chunk,
+                    self._metrics_finalizer(seg_sizes, labels),
                 )
-                cvs = jnp.stack(
-                    [canvases[i] for (i, _, _) in padded_chunk]
-                )
-                ohs = jnp.asarray(
-                    [originals[i].shape[0] for (i, _, _) in padded_chunk],
-                    jnp.int32,
-                )
-                ows = jnp.asarray(
-                    [originals[i].shape[1] for (i, _, _) in padded_chunk],
-                    jnp.int32,
-                )
-                ths_tws = jnp.asarray(
-                    [(th, tw) for (_, th, tw) in padded_chunk], jnp.int32
-                )
-                dev_logits = self._pyramid_level_fn(
-                    self.variables, cvs, ohs, ows, ths_tws, lh, lw
-                )
-                for j, (item_idx, th, tw) in enumerate(chunk):
-                    H, W = seg_sizes[item_idx]
-                    if accs[item_idx] is None:
-                        accs[item_idx] = jnp.zeros(
-                            (
-                                _round_up(H, self.bucket_step),
-                                _round_up(W, self.bucket_step),
-                                self.num_class,
-                            ),
-                            jnp.float32,
-                        )
-                    accs[item_idx] = self._accum_fn(
-                        accs[item_idx], dev_logits[j],
-                        -(-th // os_), -(-tw // os_), H, W,
-                    )
-                    remaining[item_idx] -= 1
-                    if remaining[item_idx] == 0:
-                        out[item_idx] = finalize(item_idx, accs[item_idx])
-                        accs[item_idx] = None
-
-        packed = np.asarray(jnp.stack(out))
-        C = self.num_class
-        return [
-            (row[0], row[1], row[2 : 2 + C], row[2 + C : 2 + 2 * C])
-            for row in packed
-        ]
+            )
+        return self._fetch_packed_metrics(out, len(originals))

@@ -208,6 +208,12 @@ def normalize_state_dict(state) -> Dict[str, np.ndarray]:
             )
         )
 
+    def _has_tensors(d):
+        return isinstance(d, Mapping) and any(
+            hasattr(v, "numpy") or isinstance(v, np.ndarray)
+            for v in d.values()
+        )
+
     if not _is_tensor_dict(state):
         for key in _STATE_DICT_WRAPPER_KEYS:
             inner = state.get(key)
@@ -215,11 +221,15 @@ def normalize_state_dict(state) -> Dict[str, np.ndarray]:
                 state = inner
                 break
         else:
-            raise KeyError(
-                "checkpoint is not a state_dict and has no recognized "
-                f"wrapper key (looked for {_STATE_DICT_WRAPPER_KEYS}); "
-                f"top-level keys: {sorted(state)[:10]}"
-            )
+            # A flat state_dict with non-tensor metadata mixed in (e.g.
+            # torch.save({'epoch': 3, **model.state_dict()})): fall through
+            # to the conversion loop, which drops the metadata entries.
+            if not _has_tensors(state):
+                raise KeyError(
+                    "checkpoint is not a state_dict and has no recognized "
+                    f"wrapper key (looked for {_STATE_DICT_WRAPPER_KEYS}); "
+                    f"top-level keys: {sorted(state)[:10]}"
+                )
 
     out: Dict[str, np.ndarray] = {}
     for k, v in state.items():

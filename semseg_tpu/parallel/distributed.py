@@ -43,12 +43,13 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     """
     # NOTE: must not touch backend-initializing APIs (jax.process_count,
     # jax.devices, ...) before the handshake — the distributed client has to
-    # come up first. Detect an existing client via the runtime state object.
-    try:
-        if jax.distributed.global_state.client is not None:
-            return  # already initialized
-    except AttributeError:
-        pass
+    # come up first. Detect an existing client via the runtime state object,
+    # which lives at jax._src.distributed.global_state on current jax (it is
+    # not re-exported under jax.distributed).
+    from jax._src import distributed as _jax_distributed
+
+    if getattr(_jax_distributed.global_state, "client", None) is not None:
+        return  # already initialized
 
     coordinator_address = coordinator_address or os.environ.get(
         "SEMSEG_COORDINATOR"
@@ -118,12 +119,55 @@ def local_batch_slice(per_device: int) -> slice:
     return slice(start, start + local)
 
 
+# Pad value per train-batch key: image padding is zeros, label padding is
+# ignore (-1) — identical to the within-batch aspect padding TrainDataset
+# already applies, so the loss/metrics mask it out.
+_PAD_VALUE = {"img_data": 0.0, "seg_label": -1}
+
+
+def _sync_batch_canvas(local_batch: dict) -> dict:
+    """Pad each process's batch to the cross-process maximum (H, W).
+
+    The per-host TrainDataset streams are independent (different records,
+    different per-batch scale — exactly like the reference's per-GPU batches
+    under UserScatteredDataParallel), so their padded canvases differ; but a
+    global jax.Array needs every process to contribute the SAME shape. One
+    tiny host allgather of the dims (overlapped in the prefetch thread)
+    resolves the global canvas; everything stays on the shared bucket
+    lattice, so the jit shape set does not grow beyond it.
+    """
+    from jax.experimental import multihost_utils
+
+    keys = sorted(local_batch)
+    dims = np.asarray(
+        [d for k in keys for d in local_batch[k].shape[1:3]], np.int32
+    )
+    global_dims = np.asarray(
+        multihost_utils.process_allgather(dims)
+    ).reshape(jax.process_count(), -1).max(axis=0)
+
+    out = {}
+    for i, k in enumerate(keys):
+        x = np.asarray(local_batch[k])
+        gh, gw = int(global_dims[2 * i]), int(global_dims[2 * i + 1])
+        if (gh, gw) != x.shape[1:3]:
+            pad = [(0, 0), (0, gh - x.shape[1]), (0, gw - x.shape[2])]
+            pad += [(0, 0)] * (x.ndim - 3)
+            x = np.pad(x, pad, constant_values=_PAD_VALUE.get(k, 0))
+        out[k] = x
+    return out
+
+
 def shard_local_batch(mesh: Mesh, local_batch: dict) -> dict:
     """Assemble a global sharded array from per-process local batches.
 
     Each process passes only its local slice; the result is a global
-    jax.Array sharded over the mesh's ``data`` axis.
+    jax.Array sharded over the mesh's ``data`` axis. Per-process batches may
+    differ in (H, W): they are first padded to the cross-process canvas
+    (see ``_sync_batch_canvas``).
     """
+    if jax.process_count() > 1:
+        local_batch = _sync_batch_canvas(local_batch)
     sharding = NamedSharding(mesh, P("data"))
 
     def put(x):

@@ -29,6 +29,7 @@ from semseg_tpu.parallel import distributed, mesh as mesh_mod  # noqa: E402
 
 def main(out_dir):
     distributed.initialize()  # env-var path: SEMSEG_COORDINATOR etc.
+    distributed.initialize()  # idempotent: second call must detect the client
     pid = jax.process_index()
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 4, jax.device_count()
@@ -37,12 +38,18 @@ def main(out_dir):
     assert mesh.devices.size == 4
 
     # Per-process local batches -> global sharded arrays, via the prefetch
-    # thread exactly as cli/train.py's multi-host branch does.
+    # thread exactly as cli/train.py's multi-host branch does. The two
+    # processes deliberately produce DIFFERENT (H, W) canvases — the real
+    # TrainDataset streams are independent per host, so at any step the
+    # padded batch shapes diverge; shard_local_batch must resolve a common
+    # canvas (images zero-padded, labels ignore(-1)-padded) or the global
+    # array assembly deadlocks/corrupts.
+    h = 8 + 4 * pid  # process 0: 8 rows; process 1: 12 rows
     def local_batches():
         for step in range(3):
             yield {
-                "img_data": np.full((2, 8, 8, 3), pid + step, np.float32),
-                "seg_label": np.full((2, 1, 1), pid, np.int32),
+                "img_data": np.full((2, h, 8, 3), pid + step, np.float32),
+                "seg_label": np.full((2, 1 + pid, 1), pid, np.int32),
             }
 
     it = mesh_mod.device_prefetch(
@@ -50,13 +57,24 @@ def main(out_dir):
         put=lambda local: distributed.shard_local_batch(mesh, local),
     )
 
-    reduce_fn = jax.jit(lambda b: (b["img_data"].mean(), b["seg_label"].sum()))
+    reduce_fn = jax.jit(
+        lambda b: (
+            b["img_data"].sum(),
+            b["seg_label"].sum(),
+            (b["seg_label"] == -1).sum(),
+        )
+    )
     for step, batch in enumerate(it):
-        assert batch["img_data"].shape == (4, 8, 8, 3)  # global shape
-        m, s = reduce_fn(batch)
-        # mean over both processes' slices: (step + step+1)/2
-        np.testing.assert_allclose(float(m), step + 0.5, atol=1e-6)
-        assert int(s) == 2  # 0*2 + 1*2 labels
+        # global canvas = max over processes: (12, 8); labels (2, 1)
+        assert batch["img_data"].shape == (4, 12, 8, 3)
+        assert batch["seg_label"].shape == (4, 2, 1)
+        s_img, s_lab, n_ignore = reduce_fn(batch)
+        # process 0 contributes 2*8*8*3 valid pixels of `step` (rest
+        # zero-pad); process 1 contributes 2*12*8*3 of `step + 1`.
+        expect = step * 2 * 8 * 8 * 3 + (step + 1) * 2 * 12 * 8 * 3
+        np.testing.assert_allclose(float(s_img), expect)
+        assert int(n_ignore) == 2  # process 0's padded label rows
+        assert int(s_lab) == 2 * 2 * 1 - 2  # pid1 ones minus the pad -1s
 
     # Primary-only checkpointing + barrier (cli/train.py:187-189 semantics).
     marker = os.path.join(out_dir, "ckpt_marker")

@@ -105,6 +105,11 @@ def test_non_tensor_metadata_dropped():
     # dicts with metadata as sibling keys:
     out = normalize_state_dict({"state_dict": sd, "step": 5})
     assert "step" not in out
+    # FLAT state_dict with metadata mixed in (torch.save({'epoch': 3,
+    # **model.state_dict()})): metadata entries are dropped, tensors kept.
+    out = normalize_state_dict(sd_with_meta)
+    assert "step" not in out
+    assert set(out) == set(sd)
 
 
 def test_unrecognized_wrapper_raises():

@@ -248,6 +248,37 @@ class TestDeviceMetrics:
             np.testing.assert_array_equal(d_union.astype(np.int64), union)
 
 
+    def test_canvas_budget_windows_match_unbounded(self, model_and_vars):
+        """A canvas budget small enough to force one window per image must
+        not change any metric (it only bounds live HBM score canvases)."""
+        from semseg_tpu.engine import BatchedInferenceEngine
+
+        model, variables = model_and_vars
+        rng = np.random.RandomState(33)
+        items, labels = [], []
+        for hw in [(60, 80), (90, 70), (64, 96)]:
+            items.append([
+                rng.randint(0, 256, (1, hw[0], hw[1], 3), dtype=np.uint8),
+                rng.randint(0, 256, (1, hw[0] + 8, hw[1] - 8, 3), dtype=np.uint8),
+            ])
+            labels.append(
+                rng.randint(-1, 150, (hw[0] + 5, hw[1] + 3)).astype(np.int32)
+            )
+
+        kw = dict(output_stride=8, bucket_step=32, batch_size=2)
+        wide = BatchedInferenceEngine(model, variables, **kw)
+        tight = BatchedInferenceEngine(
+            model, variables, canvas_budget_mb=1, **kw
+        )
+        assert len(tight._canvas_windows(
+            [l.shape for l in labels], range(3))) == 3
+
+        for a, b in zip(wide.batched_metrics(items, labels),
+                        tight.batched_metrics(items, labels)):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 class TestSegmentationModuleWrapper:
     def test_feed_dict_api(self, model_and_vars, rng):
         """The reference calling convention: module(feed_dict, segSize=...)."""

@@ -34,6 +34,8 @@ def simulate(records, *, batch_per_gpu, bucket_step, iters, img_sizes,
     bins = ([], [])
     shapes = Counter()
     first_seen_at = {}
+    valid_px = 0  # real-image pixels actually placed in the padded batches
+    padded_px = 0  # total padded-batch pixels the device computes over
 
     def next_record():
         nonlocal cursor, order
@@ -66,7 +68,9 @@ def simulate(records, *, batch_per_gpu, bucket_step, iters, img_sizes,
         if shape not in shapes:
             first_seen_at[shape] = it
         shapes[shape] += 1
-    return shapes, first_seen_at
+        valid_px += sum(h * w for h, w in zip(hs, ws))
+        padded_px += shape[0] * shape[1] * len(batch)
+    return shapes, first_seen_at, 1 - valid_px / padded_px
 
 
 def main():
@@ -85,29 +89,21 @@ def main():
           f"{'late shapes (>50% epoch)':>25} {'wasted px %':>11}")
     for batch in (2, 4, 8):
         for bucket in (32, 64, 128):
-            shapes, first_seen = simulate(
+            shapes, first_seen, waste = simulate(
                 records, batch_per_gpu=batch, bucket_step=bucket,
                 iters=args.iters, img_sizes=img_sizes, img_max_size=img_max,
             )
             counts = np.array(sorted(shapes.values()))
             late = sum(1 for it in first_seen.values() if it > args.iters // 2)
-            # wasted pixels: lattice rounding pad fraction, weighted by use
-            total_px = sum(h * w * c for (h, w), c in shapes.items())
-            used_px = 0
-            # re-simulate quickly for exact per-batch valid fraction is
-            # costly; approximate with (bucket/2) mean overhang per dim.
-            approx_waste = 1 - np.mean(
-                [(h - bucket / 2) * (w - bucket / 2) / (h * w)
-                 for (h, w) in shapes]
-            )
             print(f"{batch:>5} {bucket:>6} {len(shapes):>7} "
                   f"{int(np.median(counts)):>15} {late:>25} "
-                  f"{100 * approx_waste:>10.1f}")
+                  f"{100 * waste:>10.1f}")
     print(
         "\n'late shapes' = shapes first compiled after the epoch midpoint "
         "(compile stalls late into training).\n"
-        "'wasted px' ~= mean zero-pad fraction from lattice rounding "
-        "(pad is ignore-labeled; cost is FLOPs only)."
+        "'wasted px' = usage-weighted pad fraction over the simulated epoch "
+        "(aspect mismatch within a batch + lattice rounding; pad is "
+        "ignore-labeled, so the cost is FLOPs only)."
     )
 
 
