@@ -323,6 +323,9 @@ def main(argv=None):
             if os.path.isdir(native):
                 cfg.MODEL.weights_encoder = native
 
+    from semseg_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg.TPU.compile_cache)
     logger = setup_logger()
     # Visualization runs batched_predict over the HOST pyramids, which are
     # intentionally empty in device-pyramid mode — so the two are exclusive.

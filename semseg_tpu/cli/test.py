@@ -78,6 +78,9 @@ def main(argv=None):
     assert len(imgs), "imgs should be a path to image (.jpg) or directory."
     img_list = [{"fpath_img": x} for x in imgs]
 
+    from semseg_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg.TPU.compile_cache)
     logger = setup_logger()
     engine = build_engines(cfg, 1, exact=args.exact)[0]
 

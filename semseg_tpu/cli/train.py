@@ -104,6 +104,9 @@ def main(argv=None):
 
         distributed.initialize()
 
+    from semseg_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg.TPU.compile_cache)
     logger = setup_logger(distributed_rank=jax.process_index())
     logger.info(f"Loaded configuration file {args.cfg}")
 

@@ -125,5 +125,11 @@ _C.TPU.prefetch = 2
 # Rematerialize encoder blocks in the backward pass (jax.checkpoint):
 # trades ~30% step FLOPs for activation memory, enabling larger batches.
 _C.TPU.remat = False
+# Persistent XLA compilation cache shared across processes. The bucket
+# lattices cost a 30-55 min one-time compile per fresh process without it
+# (PERF_NOTES "compile budget"); with it, every later run deserializes the
+# executables. "" = default dir (~/.cache/semseg_tpu/xla_cache), "off" =
+# disabled, anything else = explicit directory.
+_C.TPU.compile_cache = ""
 
 cfg = _C

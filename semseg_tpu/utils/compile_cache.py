@@ -1,0 +1,54 @@
+"""Persistent XLA compilation cache across processes.
+
+The train bucket lattice compiles ~69 distinct (H, W) shapes per epoch and
+the parity eval lattice ~441 (PERF_NOTES.md "compile budget"); at 27-51 s
+per train-step compile that is a 30-55 min one-time cost PER FRESH PROCESS.
+The reference never pays this (torch is eager), so amortizing it is part of
+matching its usability: with a persistent cache the lattice compiles once
+per (model, shape) EVER on a given host, and every later process — resumes,
+eval runs, multi-epoch restarts — deserializes executables in seconds.
+
+This wraps jax's built-in persistent compilation cache
+(``jax_compilation_cache_dir``). We lower the min-compile-time gate so even
+small eval programs (embed/accumulate/metrics, ~1 s compiles that still pay
+a tunnel round-trip) are cached.
+
+Reference analogue: none (no compiled artifacts exist in
+/root/reference — this subsystem is TPU-specific).
+"""
+
+import logging
+import os
+
+DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "semseg_tpu", "xla_cache"
+)
+
+
+def enable_compile_cache(path: str = "", *, min_compile_secs: float = 0.5) -> str:
+    """Turn on jax's persistent compilation cache; returns the cache dir.
+
+    ``path`` semantics (mirrors ``cfg.TPU.compile_cache``):
+      * ``""``      — default user cache dir (``~/.cache/semseg_tpu/xla_cache``)
+      * ``"off"``   — disabled; returns ""
+      * otherwise   — explicit directory
+
+    ``min_compile_secs``: only programs whose compile took at least this
+    long are persisted. The 0.5 s default (vs jax's 1 s) keeps the small
+    eval epilogue programs too; every train-step/forward program is far
+    above it (27-51 s measured).
+    """
+    if path == "off":
+        return ""
+    import jax
+
+    cache_dir = path or DEFAULT_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
+    logging.getLogger("Logger").debug(
+        "persistent XLA compilation cache at %s", cache_dir
+    )
+    return cache_dir
