@@ -158,6 +158,7 @@ def main(argv=None):
             + jax.process_index() * 97
             + worker_seed,
             bucket_step=cfg.TPU.bucket_step,
+            raw_transport=cfg.TPU.device_preproc,
         ),
         num_workers=cfg.TRAIN.workers,
         prefetch=cfg.TPU.prefetch * 4,

@@ -136,12 +136,19 @@ class TrainDataset(BaseDataset):
         *,
         seed: int = 304,
         bucket_step: Optional[int] = None,
+        raw_transport: bool = False,
         **kwargs,
     ):
         super().__init__(odgt, opt, **kwargs)
         self.root_dataset = root_dataset
         self.segm_downsampling_rate = opt.segm_downsampling_rate
         self.batch_per_gpu = batch_per_gpu
+        # raw_transport: ship the batch as uint8 (4x less host->device
+        # traffic) with per-image valid (h, w); normalization + the
+        # reference's zero-pad-in-normalized-space semantics move into the
+        # jitted train step (parallel/train_step.py), mirroring the eval
+        # engine's uint8 device-preprocessing design.
+        self.raw_transport = raw_transport
         self.bucket_step = max(bucket_step or 0, self.padding_constant)
         assert self.padding_constant >= self.segm_downsampling_rate
         assert self.bucket_step % self.padding_constant == 0 or bucket_step is None
@@ -194,7 +201,10 @@ class TrainDataset(BaseDataset):
         batch_h = int(round2nearest_multiple(heights.max(), self.bucket_step))
         rate = self.segm_downsampling_rate
 
-        images = np.zeros((self.batch_per_gpu, batch_h, batch_w, 3), np.float32)
+        images = np.zeros(
+            (self.batch_per_gpu, batch_h, batch_w, 3),
+            np.uint8 if self.raw_transport else np.float32,
+        )
         segms = np.full(
             (self.batch_per_gpu, batch_h // rate, batch_w // rate), -1, np.int32
         )
@@ -224,9 +234,14 @@ class TrainDataset(BaseDataset):
                 if flip:
                     img_arr = img_arr[:, ::-1]
                     seg_arr = seg_arr[:, ::-1]
-                images[i, :h_i, :w_i] = native.preprocess(
-                    img_arr, (h_i, w_i), (h_i, w_i), MEAN, STD
-                )
+                if self.raw_transport:
+                    images[i, :h_i, :w_i] = native.resize_bilinear_u8(
+                        img_arr, (h_i, w_i)
+                    )
+                else:
+                    images[i, :h_i, :w_i] = native.preprocess(
+                        img_arr, (h_i, w_i), (h_i, w_i), MEAN, STD
+                    )
                 seg_small = native.resize_nearest_u8(seg_arr, (h_i, w_i))
                 sr_h = round2nearest_multiple(h_i, rate)
                 sr_w = round2nearest_multiple(w_i, rate)
@@ -253,12 +268,19 @@ class TrainDataset(BaseDataset):
             segm_rounded.paste(segm, (0, 0))
             segm = imresize(segm_rounded, (sr_w // rate, sr_h // rate), "nearest")
 
-            arr = img_transform(img)
+            arr = (
+                np.asarray(img, np.uint8)
+                if self.raw_transport
+                else img_transform(img)
+            )
             lab = segm_transform(segm)
             images[i, : arr.shape[0], : arr.shape[1]] = arr
             segms[i, : lab.shape[0], : lab.shape[1]] = lab
 
-        return {"img_data": images, "seg_label": segms}
+        batch = {"img_data": images, "seg_label": segms}
+        if self.raw_transport:
+            batch["img_valid_hw"] = np.stack([heights, widths], axis=1)
+        return batch
 
     def __iter__(self) -> Iterator[dict]:
         while True:

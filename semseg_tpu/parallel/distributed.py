@@ -138,7 +138,9 @@ def _sync_batch_canvas(local_batch: dict) -> dict:
     """
     from jax.experimental import multihost_utils
 
-    keys = sorted(local_batch)
+    # Only spatial arrays (N, H, W, ...) need a canvas; per-image metadata
+    # like img_valid_hw (N, 2) already has a process-invariant shape.
+    keys = sorted(k for k, v in local_batch.items() if v.ndim >= 3)
     dims = np.asarray(
         [d for k in keys for d in local_batch[k].shape[1:3]], np.int32
     )
@@ -146,7 +148,7 @@ def _sync_batch_canvas(local_batch: dict) -> dict:
         multihost_utils.process_allgather(dims)
     ).reshape(jax.process_count(), -1).max(axis=0)
 
-    out = {}
+    out = dict(local_batch)  # non-spatial keys pass through untouched
     for i, k in enumerate(keys):
         x = np.asarray(local_batch[k])
         gh, gw = int(global_dims[2 * i]), int(global_dims[2 * i + 1])

@@ -89,18 +89,42 @@ def create_train_state(cfg, model, variables) -> TrainState:
     )
 
 
+def _normalize_raw(img_u8, valid_hw):
+    """On-device normalize for raw uint8 batches (TPU.device_preproc).
+
+    Reproduces the host pipeline exactly: (x/255 - MEAN)/STD in float32,
+    then ZERO outside each image's valid (h, w) — the reference pads the
+    canvas AFTER normalization (dataset.py:139-151), so pad pixels must be
+    0 in normalized space, not the normalized value of black.
+    """
+    from semseg_tpu.data.transforms import MEAN, STD
+
+    x = img_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(MEAN)) / jnp.asarray(STD)
+    n, h, w, _ = img_u8.shape
+    ih = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    valid = (ih < valid_hw[:, 0, None, None]) & (iw < valid_hw[:, 1, None, None])
+    return jnp.where(valid[..., None], x, 0.0)
+
+
 def train_step(state: TrainState, batch, rng):
     """One SGD step. jit with ``donate_argnums=(0,)``.
 
-    ``batch``: {'img_data': (N,H,W,3) f32, 'seg_label': (N,h,w) i32}.
+    ``batch``: {'img_data': (N,H,W,3) f32, 'seg_label': (N,h,w) i32} — or,
+    with raw transport, img_data uint8 plus 'img_valid_hw' (N,2) i32;
+    normalization then runs on device (see ``_normalize_raw``).
     Returns (new_state, {'loss', 'acc'}).
     """
     dropout_rng = jax.random.fold_in(rng, state.step)
+    img = batch["img_data"]
+    if img.dtype == jnp.uint8:
+        img = _normalize_raw(img, batch["img_valid_hw"])
 
     def loss_fn(params):
         (loss, acc), mutated = state.model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["img_data"],
+            img,
             seg_label=batch["seg_label"],
             train=True,
             mutable=["batch_stats"],

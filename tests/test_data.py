@@ -84,6 +84,32 @@ class TestTrainDataset:
             assert b["img_data"].shape[1] % 64 == 0
             assert b["img_data"].shape[2] % 64 == 0
 
+    def test_raw_transport_matches_host_pipeline(self, fixture_dir):
+        """raw_transport=True ships uint8 + valid hw; normalizing it on the
+        host must reproduce the float32 pipeline's batch exactly."""
+        from semseg_tpu.data.transforms import MEAN, STD
+
+        root, odgt, _ = fixture_dir
+        a = TrainDataset(str(root), odgt, make_opt(), batch_per_gpu=2, seed=7)
+        b = TrainDataset(
+            str(root), odgt, make_opt(), batch_per_gpu=2, seed=7,
+            raw_transport=True,
+        )
+        for _ in range(3):
+            ba, bb = a.next_batch(), b.next_batch()
+            img = bb["img_data"]
+            assert img.dtype == np.uint8
+            hw = bb["img_valid_hw"]
+            assert hw.shape == (2, 2) and hw.dtype == np.int32
+            norm = (img.astype(np.float32) / 255.0 - MEAN) / STD
+            for i, (h, w) in enumerate(hw):
+                norm[i, h:] = 0.0
+                norm[i, :, w:] = 0.0
+            np.testing.assert_allclose(
+                ba["img_data"], norm, atol=1e-6, rtol=0
+            )
+            np.testing.assert_array_equal(ba["seg_label"], bb["seg_label"])
+
     def test_deterministic_with_seed(self, fixture_dir):
         root, odgt, _ = fixture_dir
         a = TrainDataset(str(root), odgt, make_opt(), batch_per_gpu=2, seed=3)

@@ -73,6 +73,56 @@ class TestTrainStep:
         )
         assert changed > 0
 
+    def test_raw_uint8_transport_matches_host_normalize(self, setup, rng):
+        """TPU.device_preproc: a raw uint8 batch (+ per-image valid hw,
+        normalize on device) must produce the same step as the host-side
+        float32 pipeline — including zero pad in NORMALIZED space."""
+        from semseg_tpu.data.transforms import MEAN, STD
+
+        c, model, state = setup
+        key = jax.random.PRNGKey(2)
+        n, H, W = 2, 64, 64
+        hw = np.array([[56, 64], [64, 48]], np.int32)  # ragged valid regions
+        raw = np.zeros((n, H, W, 3), np.uint8)
+        host = np.zeros((n, H, W, 3), np.float32)
+        for i, (h, w) in enumerate(hw):
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            raw[i, :h, :w] = px
+            host[i, :h, :w] = (px.astype(np.float32) / 255.0 - MEAN) / STD
+        label = rng.randint(-1, 150, (n, H // 8, W // 8)).astype(np.int32)
+
+        # The normalize+mask itself is exact (isolated, nothing to fuse into).
+        from semseg_tpu.parallel.train_step import _normalize_raw
+
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(_normalize_raw)(raw, hw)), host,
+            atol=1e-6, rtol=0,
+        )
+
+        step = jax.jit(train_step)
+        s_host, m_host = step(
+            state, {"img_data": host, "seg_label": label}, key
+        )
+        s_raw, m_raw = step(
+            state,
+            {"img_data": raw, "seg_label": label, "img_valid_hw": hw},
+            key,
+        )
+        # Inside the full step XLA fuses the normalize into neighboring ops
+        # with different rounding than numpy's separate passes; that few-ULP
+        # input delta amplifies ~1000x through 20 random-init BN layers'
+        # gradients, so the step-level check is only a wiring guard (a
+        # missing pad mask would show up as ~1e-1 param deltas).
+        np.testing.assert_allclose(
+            float(m_host["loss"]), float(m_raw["loss"]), rtol=1e-4
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_host.params), jax.tree.leaves(s_raw.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=0
+            )
+
     def test_sharded_matches_single_device(self, setup, rng):
         """DP over the 8-device mesh must equal single-device training."""
         c, model, state = setup
