@@ -1,0 +1,142 @@
+"""AOT-exported serving bundles: segmentation without model code.
+
+Deployment path the reference does not have (it serves by shipping the
+Python package + ``.pth`` checkpoints and paying eager dispatch): here the
+inference program is exported to serialized StableHLO — one program per
+(batch, H, W) bucket — plus one ``params.npz``. A bundle loads and runs on
+any machine with jax (TPU/CPU/GPU backends alike) with **no flax, no model
+zoo, no checkpoint converter** at serving time, and zero compile cost when
+paired with the persistent compilation cache.
+
+Program semantics per bucket (matches the single-scale reference protocol,
+``test.py:55-91`` minus multi-scale averaging):
+  uint8 NHWC batch → normalize (f32, MEAN/STD) → model forward → bilinear
+  resize of logits to input resolution (align_corners=False, the
+  reference's ``F.interpolate``) → argmax → uint8 label map.
+``argmax(softmax(x)) == argmax(x)``, so the softmax is elided.
+
+Inputs of other sizes are resized onto the nearest exported bucket (the
+eval pipeline's bucket-by-resize discipline, PARITY.md) and the label map
+is nearest-resized back.
+"""
+
+import json
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semseg_tpu.data.transforms import MEAN, STD
+from semseg_tpu.ops.resize import resize_bilinear
+
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+
+
+def _program(model, treedef, h, w):
+    """(leaves, img_u8) → uint8 label map, for export at a fixed shape."""
+
+    def run(leaves, img_u8):
+        variables = jax.tree.unflatten(treedef, leaves)
+        x = (img_u8.astype(jnp.float32) / 255.0 - jnp.asarray(MEAN)) / jnp.asarray(STD)
+        logits = model.apply(variables, x, train=False)
+        full = resize_bilinear(logits.astype(jnp.float32), (h, w))
+        return jnp.argmax(full, axis=-1).astype(jnp.uint8)
+
+    return run
+
+
+def export_bundle(
+    model,
+    variables,
+    out_dir: str,
+    *,
+    shapes: Sequence[Tuple[int, int]],
+    batch_size: int = 1,
+    num_class: int = 150,
+) -> dict:
+    """Serialize one program per (batch, h, w) bucket into ``out_dir``.
+
+    Parameters are saved ONCE (``params.npz``) and passed to every program
+    as arguments — closing over them would duplicate ~100 MB of weight
+    constants into each serialized bucket.
+    """
+    assert num_class < 256, "uint8 label transport"
+    os.makedirs(out_dir, exist_ok=True)
+    leaves, treedef = jax.tree.flatten(variables)
+    np.savez(
+        os.path.join(out_dir, _PARAMS),
+        **{str(i): np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+    leaf_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
+    programs = []
+    for h, w in shapes:
+        run = _program(model, treedef, h, w)
+        exp = jax.export.export(jax.jit(run))(
+            leaf_specs,
+            jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8),
+        )
+        name = f"{batch_size}x{h}x{w}.shlo"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        programs.append({"h": h, "w": w, "batch": batch_size, "file": name})
+
+    manifest = {
+        "format": "semseg_tpu.serving/1",
+        "num_class": num_class,
+        "programs": programs,
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class Predictor:
+    """Runs an exported bundle. Needs only jax + numpy + PIL."""
+
+    def __init__(self, bundle_dir: str):
+        with open(os.path.join(bundle_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        assert self.manifest["format"] == "semseg_tpu.serving/1"
+        npz = np.load(os.path.join(bundle_dir, _PARAMS))
+        self.leaves = [npz[str(i)] for i in range(len(npz.files))]
+        self.programs = {}
+        for p in self.manifest["programs"]:
+            with open(os.path.join(bundle_dir, p["file"]), "rb") as f:
+                self.programs[(p["batch"], p["h"], p["w"])] = (
+                    jax.export.deserialize(f.read())
+                )
+
+    def _pick(self, h, w):
+        """Exported bucket with the closest aspect-preserving fit."""
+
+        def cost(key):
+            _, bh, bw = key
+            s = min(bh / h, bw / w)
+            return abs(1 - s) + abs(bh / bw - h / w)
+
+        return min(self.programs, key=cost)
+
+    def predict(self, img: np.ndarray) -> np.ndarray:
+        """uint8 (H, W, 3) image → int64 (H, W) label map (0-based)."""
+        from PIL import Image
+
+        H, W = img.shape[:2]
+        key = self._pick(H, W)
+        b, bh, bw = key
+        resized = np.asarray(
+            Image.fromarray(img).resize((bw, bh), Image.BILINEAR), np.uint8
+        )
+        batch = np.zeros((b, bh, bw, 3), np.uint8)
+        batch[0] = resized
+        out = np.asarray(self.programs[key].call(self.leaves, batch))[0]
+        if (bh, bw) != (H, W):
+            out = np.asarray(
+                Image.fromarray(out).resize((W, H), Image.NEAREST)
+            )
+        return out.astype(np.int64)
