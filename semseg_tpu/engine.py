@@ -637,12 +637,19 @@ class DevicePyramidEngine(BatchedInferenceEngine):
     """
 
     def __init__(self, *args, img_sizes, img_max_size, ori_step: int = 64,
-                 ori_canvas=(1088, 1600), **kw):
+                 ori_canvas=(1088, 1600), upload_pipeline: bool = False, **kw):
         super().__init__(*args, **kw)
         self.img_sizes = tuple(img_sizes)
         self.img_max_size = img_max_size
         self.ori_step = ori_step
         self.ori_canvas = tuple(ori_canvas)
+        # Overlap window k+1's original/label uploads (worker thread) with
+        # window k's forwards. Default OFF: on the 1-core tunneled host the
+        # uploader thread's RPCs contend with the dispatch stream (measured
+        # 11.7 vs 14.9 img/s interleaved A/B); enable on multi-core hosts
+        # with PCIe-attached devices, where the serial upload phase (~47%
+        # of the protocol here) genuinely overlaps.
+        self.upload_pipeline = upload_pipeline
 
     # -- device programs -----------------------------------------------------
     @functools.cached_property
@@ -725,17 +732,33 @@ class DevicePyramidEngine(BatchedInferenceEngine):
         """
         assert self.num_class < 255
         seg_sizes = [lab.shape for lab in labels]
+        canvases: dict = {}
+        dev_labels: dict = {}
 
-        # Upload each original once (padded to the ori_step lattice).
-        canvases = []
-        for ori in originals:
-            h, w = ori.shape[:2]
-            assert self.fits(h, w), (h, w, self.ori_canvas)
-            obh = _round_up(h, self.ori_step)
-            obw = _round_up(w, self.ori_step)
-            padded = np.zeros((obh, obw, 3), np.uint8)
-            padded[:h, :w] = ori
-            canvases.append(self._embed_fn(jnp.asarray(padded)))
+        def upload_window(idx_list):
+            """One original (padded to the ori_step lattice) + one uint8
+            label canvas per image — enqueued from a worker thread so the
+            link transfers overlap the previous window's forwards (measured
+            ~47% of the protocol is otherwise a serial upload phase)."""
+            for i in idx_list:
+                ori = originals[i]
+                h, w = ori.shape[:2]
+                assert self.fits(h, w), (h, w, self.ori_canvas)
+                obh = _round_up(h, self.ori_step)
+                obw = _round_up(w, self.ori_step)
+                padded = np.zeros((obh, obw, 3), np.uint8)
+                padded[:h, :w] = ori
+                canvases[i] = self._embed_fn(jnp.asarray(padded))
+                H, W = seg_sizes[i]
+                lab = np.full(
+                    (_round_up(H, self.bucket_step),
+                     _round_up(W, self.bucket_step)),
+                    255, np.uint8,
+                )
+                lab[:H, :W] = np.where(
+                    labels[i] < 0, 255, labels[i]
+                ).astype(np.uint8)
+                dev_labels[i] = jnp.asarray(lab)
 
         def forward_chunk(key, padded_chunk):
             lh, lw = key
@@ -757,21 +780,46 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             return dev_logits, [(th, tw) for (_, th, tw) in padded_chunk]
 
         plans = [self.level_plan(*ori.shape[:2]) for ori in originals]
+        def finalize(item_idx, acc):
+            return self._metrics_fn(acc, dev_labels.pop(item_idx))
+
+        # Pipeline windows: canvas-budget windows, further split so upload
+        # of window k+1 (worker thread) overlaps compute of window k. A
+        # window of 2 batches keeps the cross-image level batching intact.
+        from concurrent.futures import ThreadPoolExecutor
+
+        max_items = (
+            max(2 * self.batch_size, 1)
+            if self.upload_pipeline
+            else len(originals) or 1
+        )
+        windows = [
+            w[lo : lo + max_items]
+            for w in self._canvas_windows(seg_sizes, range(len(originals)))
+            for lo in range(0, len(w), max_items)
+        ]
         out: dict = {}
-        for window in self._canvas_windows(seg_sizes, range(len(originals))):
-            # Group this window's (item, level) tasks by level bucket.
-            groups: dict = {}
-            for i in window:
-                for (th, tw) in plans[i]:
-                    groups.setdefault(
-                        (_round_up(th, self.bucket_step),
-                         _round_up(tw, self.bucket_step)), []
-                    ).append((i, th, tw))
-            out.update(
-                self._accumulate_on_device(
-                    seg_sizes, groups, {i: len(plans[i]) for i in window},
-                    forward_chunk,
-                    self._metrics_finalizer(seg_sizes, labels),
+        with ThreadPoolExecutor(1) as uploader:
+            fut = uploader.submit(upload_window, windows[0]) if windows else None
+            for k, window in enumerate(windows):
+                fut.result()
+                if k + 1 < len(windows):
+                    fut = uploader.submit(upload_window, windows[k + 1])
+                # Group this window's (item, level) tasks by level bucket.
+                groups: dict = {}
+                for i in window:
+                    for (th, tw) in plans[i]:
+                        groups.setdefault(
+                            (_round_up(th, self.bucket_step),
+                             _round_up(tw, self.bucket_step)), []
+                        ).append((i, th, tw))
+                out.update(
+                    self._accumulate_on_device(
+                        seg_sizes, groups, {i: len(plans[i]) for i in window},
+                        forward_chunk,
+                        finalize,
+                    )
                 )
-            )
+                for i in window:
+                    canvases.pop(i, None)  # free the device original
         return self._fetch_packed_metrics(out, len(originals))

@@ -145,6 +145,31 @@ def test_metrics_from_originals_match_host_pyramids(model_and_vars, rng):
         assert np.abs(hu - du).sum() / max(hp, 1) < 0.04
 
 
+def test_upload_pipeline_matches_upfront(model_and_vars, rng):
+    """upload_pipeline=True (threaded window uploads) must be metric-
+    identical to the upfront upload pass — it only reorders transfers."""
+    kw = dict(
+        num_class=150, output_stride=8, bucket_step=16, batch_size=1,
+        img_sizes=(64, 96), img_max_size=160, ori_step=32,
+        ori_canvas=(160, 160),
+    )
+    model, variables = model_and_vars
+    a = DevicePyramidEngine(model, variables, upload_pipeline=False, **kw)
+    b = DevicePyramidEngine(model, variables, upload_pipeline=True, **kw)
+
+    originals, labels = [], []
+    for (h, w) in [(113, 149), (149, 113), (128, 128)]:
+        originals.append(rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        labels.append(rng.randint(-1, 150, (h, w)).astype(np.int32))
+    # batch_size 1 -> window of 2: items split across pipeline windows.
+    for ra, rb in zip(
+        a.batched_metrics_from_originals(originals, labels),
+        b.batched_metrics_from_originals(originals, labels),
+    ):
+        for x, y in zip(ra, rb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_effective_lattice_respects_padding_constant():
     """UPerNet/HRNet configs pad to 32; a finer eval lattice must round up
     so pyramid dims keep the architecture's alignment."""
