@@ -57,12 +57,15 @@ def export_bundle(
     shapes: Sequence[Tuple[int, int]],
     batch_size: int = 1,
     num_class: int = 150,
+    platforms: Sequence[str] = ("cpu", "tpu"),
 ) -> dict:
     """Serialize one program per (batch, h, w) bucket into ``out_dir``.
 
     Parameters are saved ONCE (``params.npz``) and passed to every program
     as arguments — closing over them would duplicate ~100 MB of weight
-    constants into each serialized bucket.
+    constants into each serialized bucket. Programs are lowered for every
+    platform in ``platforms`` (jax.export pins the lowering target; a
+    single-platform export would refuse to run elsewhere).
     """
     assert num_class < 256, "uint8 label transport"
     os.makedirs(out_dir, exist_ok=True)
@@ -76,7 +79,7 @@ def export_bundle(
     programs = []
     for h, w in shapes:
         run = _program(model, treedef, h, w)
-        exp = jax.export.export(jax.jit(run))(
+        exp = jax.export.export(jax.jit(run), platforms=tuple(platforms))(
             leaf_specs,
             jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8),
         )
@@ -89,6 +92,7 @@ def export_bundle(
         "format": "semseg_tpu.serving/1",
         "num_class": num_class,
         "programs": programs,
+        "platforms": list(platforms),
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
