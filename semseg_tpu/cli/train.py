@@ -52,9 +52,10 @@ def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logg
         state, metrics = step_fn(state, batch, rng)
         # Reference meter semantics (train.py:49-57): every iteration counts
         # toward the averages. The scalars stay on device until disp time so
-        # the step dispatch pipeline never blocks on a fetch.
+        # the step dispatch pipeline never blocks on a fetch; the final
+        # partial window (epoch_iters % disp_iter) flushes at epoch end.
         pending_metrics.append(metrics)
-        if (i + 1) % cfg.TRAIN.disp_iter == 0:
+        if (i + 1) % cfg.TRAIN.disp_iter == 0 or i + 1 == cfg.TRAIN.epoch_iters:
             for m in pending_metrics:
                 ave_loss.update(float(m["loss"]))
                 ave_acc.update(float(m["acc"]) * 100)
@@ -165,15 +166,17 @@ def main(argv=None):
     )
     # Batches arrive on-device: a prefetch thread overlaps the host→device
     # transfer of the next batches with the running step. Under multi-host,
-    # per-process local batches are assembled into global sharded arrays —
-    # on the same prefetch thread, so the overlap is identical.
+    # batch assembly contains a cross-process collective (the dims
+    # allgather in shard_local_batch) — collectives MUST launch in the same
+    # order on every process, so it runs on the MAIN thread, strictly
+    # interleaved with the steps (a prefetch thread could order its
+    # allgather before or after the concurrent step's collectives
+    # differently per process and deadlock the pod). Host-side prefetch
+    # (decode/resize/pad) still overlaps via TrainLoader's own workers.
     if n_proc > 1:
         from semseg_tpu.parallel.distributed import shard_local_batch
 
-        loader_iter = device_prefetch(
-            iter(loader), mesh, depth=cfg.TPU.prefetch,
-            put=lambda local: shard_local_batch(mesh, local),
-        )
+        loader_iter = (shard_local_batch(mesh, local) for local in iter(loader))
     else:
         loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
     step_fn = jitted_train_step()

@@ -459,6 +459,9 @@ class BatchedInferenceEngine(InferenceEngine):
         (4 RPCs/image) would otherwise dominate the whole protocol.
         """
         assert self.num_class < 255  # uint8 label transport, 255 = void
+        if not items:
+            return []
+        assert all(len(p) for p in items), "every item needs >= 1 level"
         seg_sizes = [lab.shape for lab in labels]
 
         out: dict = {}
@@ -536,6 +539,9 @@ class BatchedInferenceEngine(InferenceEngine):
         from concurrent.futures import ThreadPoolExecutor
 
         n_items = len(items)
+        if not n_items:
+            return []
+        assert all(len(p) for p in items), "every item needs >= 1 level"
 
         if device_postproc:
             return self._device_postproc_predict(items, seg_sizes)
@@ -779,19 +785,41 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             )
             return dev_logits, [(th, tw) for (_, th, tw) in padded_chunk]
 
+        if not originals:
+            return []
+
         plans = [self.level_plan(*ori.shape[:2]) for ori in originals]
+        assert all(len(p) for p in plans), "every image needs >= 1 level"
+
         def finalize(item_idx, acc):
             return self._metrics_fn(acc, dev_labels.pop(item_idx))
+
+        def process_window(window):
+            # Group this window's (item, level) tasks by level bucket.
+            groups: dict = {}
+            for i in window:
+                for (th, tw) in plans[i]:
+                    groups.setdefault(
+                        (_round_up(th, self.bucket_step),
+                         _round_up(tw, self.bucket_step)), []
+                    ).append((i, th, tw))
+            out.update(
+                self._accumulate_on_device(
+                    seg_sizes, groups, {i: len(plans[i]) for i in window},
+                    forward_chunk,
+                    finalize,
+                )
+            )
+            for i in window:
+                canvases.pop(i, None)  # free the device original
 
         # Pipeline windows: canvas-budget windows, further split so upload
         # of window k+1 (worker thread) overlaps compute of window k. A
         # window of 2 batches keeps the cross-image level batching intact.
-        from concurrent.futures import ThreadPoolExecutor
-
         max_items = (
             max(2 * self.batch_size, 1)
             if self.upload_pipeline
-            else len(originals) or 1
+            else len(originals)
         )
         windows = [
             w[lo : lo + max_items]
@@ -799,27 +827,21 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             for lo in range(0, len(w), max_items)
         ]
         out: dict = {}
-        with ThreadPoolExecutor(1) as uploader:
-            fut = uploader.submit(upload_window, windows[0]) if windows else None
-            for k, window in enumerate(windows):
-                fut.result()
-                if k + 1 < len(windows):
-                    fut = uploader.submit(upload_window, windows[k + 1])
-                # Group this window's (item, level) tasks by level bucket.
-                groups: dict = {}
-                for i in window:
-                    for (th, tw) in plans[i]:
-                        groups.setdefault(
-                            (_round_up(th, self.bucket_step),
-                             _round_up(tw, self.bucket_step)), []
-                        ).append((i, th, tw))
-                out.update(
-                    self._accumulate_on_device(
-                        seg_sizes, groups, {i: len(plans[i]) for i in window},
-                        forward_chunk,
-                        finalize,
-                    )
-                )
-                for i in window:
-                    canvases.pop(i, None)  # free the device original
+        if not self.upload_pipeline:
+            # Strictly serial: never run the uploader concurrently with the
+            # dispatch stream (measured slower on 1-core tunneled hosts even
+            # when only the canvas budget splits the windows).
+            for window in windows:
+                upload_window(window)
+                process_window(window)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as uploader:
+                fut = uploader.submit(upload_window, windows[0])
+                for k, window in enumerate(windows):
+                    fut.result()
+                    if k + 1 < len(windows):
+                        fut = uploader.submit(upload_window, windows[k + 1])
+                    process_window(window)
         return self._fetch_packed_metrics(out, len(originals))

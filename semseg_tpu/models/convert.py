@@ -217,7 +217,11 @@ def normalize_state_dict(state) -> Dict[str, np.ndarray]:
     if not _is_tensor_dict(state):
         for key in _STATE_DICT_WRAPPER_KEYS:
             inner = state.get(key)
-            if _is_tensor_dict(inner):
+            # _has_tensors, not _is_tensor_dict: wrapped state_dicts can
+            # themselves carry metadata entries, e.g.
+            # torch.save({'state_dict': {**sd, 'epoch': 3}}) — the
+            # conversion loop drops the non-tensor entries.
+            if _has_tensors(inner):
                 state = inner
                 break
         else:
@@ -247,13 +251,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     Accepts raw state_dicts, ``{'state_dict': ...}``-style wrappers, and
     ``module.``-prefixed DataParallel saves (see `normalize_state_dict`).
     """
+    import logging
+    import pickle
+
     import torch
 
     try:
         state = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # Older zoo files may contain pickled non-tensor objects that
-        # weights_only rejects; retry permissively (trusted local file).
+    except pickle.UnpicklingError:
+        # Older zoo files contain pickled nn.Module objects that
+        # weights_only rejects. Full unpickling executes code from the
+        # file — only retry for this specific rejection, and say so.
+        logging.getLogger("Logger").warning(
+            "%s is not a weights-only checkpoint; falling back to full "
+            "unpickling (only do this for files you trust)", path,
+        )
         state = torch.load(path, map_location="cpu", weights_only=False)
     return normalize_state_dict(state)
 

@@ -37,8 +37,10 @@ def main(out_dir):
     mesh = mesh_mod.make_mesh()
     assert mesh.devices.size == 4
 
-    # Per-process local batches -> global sharded arrays, via the prefetch
-    # thread exactly as cli/train.py's multi-host branch does. The two
+    # Per-process local batches -> global sharded arrays, assembled on the
+    # MAIN thread exactly as cli/train.py's multi-host branch does (the
+    # dims allgather inside shard_local_batch is a collective and must
+    # launch in the same order as the steps on every process). The two
     # processes deliberately produce DIFFERENT (H, W) canvases — the real
     # TrainDataset streams are independent per host, so at any step the
     # padded batch shapes diverge; shard_local_batch must resolve a common
@@ -52,9 +54,9 @@ def main(out_dir):
                 "seg_label": np.full((2, 1 + pid, 1), pid, np.int32),
             }
 
-    it = mesh_mod.device_prefetch(
-        local_batches(), mesh, depth=2,
-        put=lambda local: distributed.shard_local_batch(mesh, local),
+    it = (
+        distributed.shard_local_batch(mesh, local)
+        for local in local_batches()
     )
 
     reduce_fn = jax.jit(

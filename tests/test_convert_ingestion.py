@@ -100,14 +100,17 @@ def test_non_tensor_metadata_dropped():
     # Not a pure tensor dict → wrapper-key search fails with a clear error.
     with pytest.raises(KeyError):
         normalize_state_dict({"weights": sd_with_meta})
-    # But under a recognized wrapper key the metadata is tolerated... by the
-    # tensor-dict heuristic failing; supported layout is tensors-only inner
-    # dicts with metadata as sibling keys:
+    # Under a recognized wrapper key the metadata is tolerated:
     out = normalize_state_dict({"state_dict": sd, "step": 5})
     assert "step" not in out
     # FLAT state_dict with metadata mixed in (torch.save({'epoch': 3,
     # **model.state_dict()})): metadata entries are dropped, tensors kept.
     out = normalize_state_dict(sd_with_meta)
+    assert "step" not in out
+    assert set(out) == set(sd)
+    # WRAPPED state_dict whose inner dict itself carries metadata
+    # (torch.save({'state_dict': {**sd, 'epoch': 3}})):
+    out = normalize_state_dict({"state_dict": sd_with_meta})
     assert "step" not in out
     assert set(out) == set(sd)
 

@@ -248,6 +248,22 @@ class TestDeviceMetrics:
             np.testing.assert_array_equal(d_union.astype(np.int64), union)
 
 
+    def test_degenerate_inputs(self, model_and_vars):
+        """Empty requests return []; an empty pyramid fails loudly instead
+        of a KeyError from the metric-packing loop."""
+        from semseg_tpu.engine import BatchedInferenceEngine
+
+        model, variables = model_and_vars
+        eng = BatchedInferenceEngine(
+            model, variables, output_stride=8, bucket_step=32, batch_size=2
+        )
+        assert eng.batched_metrics([], []) == []
+        assert eng.batched_predict([], []) == []
+        with pytest.raises(AssertionError, match="level"):
+            eng.batched_metrics(
+                [[]], [np.zeros((8, 8), np.int32)]
+            )
+
     def test_canvas_budget_windows_match_unbounded(self, model_and_vars):
         """A canvas budget small enough to force one window per image must
         not change any metric (it only bounds live HBM score canvases)."""

@@ -136,9 +136,9 @@ def main():
 
     print("[3/3] semseg_tpu eval modes...")
     run_ours("exact (f32, parity mode)", exact=True)
-    run_ours("bucketed step=8 (protocol-exact)", exact=False,
+    run_ours("bucketed step=8 (protocol-exact, default)", exact=False,
              fetch_dtype="bfloat16", bucket=8)
-    run_ours("bucketed step=16 bf16 (default)", exact=False,
+    run_ours("bucketed step=16 bf16 (throughput opt-in)", exact=False,
              fetch_dtype="bfloat16", bucket=16)
     run_ours("bucketed step=32 bf16", exact=False, fetch_dtype="bfloat16",
              bucket=32)

@@ -51,6 +51,8 @@ def main(argv=None):
                         help="simulated epoch length (shape prediction)")
     parser.add_argument("--limit", type=int, default=0,
                         help="warm only the N most-used shapes (0 = all)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="data-parallel devices, as in train.py (0 = all)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
@@ -67,8 +69,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from semseg_tpu.models import ModelBuilder, init_variables
+    from semseg_tpu.parallel.mesh import make_mesh, replicate_state
     from semseg_tpu.parallel.train_step import (
         create_train_state,
         train_step,
@@ -77,12 +81,18 @@ def main(argv=None):
     model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
     variables = init_variables(model, seed=0, image_size=(64, 64))
     state = create_train_state(cfg, model, variables)
+    # Lower the SAME program the training run compiles: global batch over
+    # the data-parallel mesh, state replicated. An unsharded local-batch
+    # lowering would produce different cache keys and warm nothing.
+    mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
+    state = replicate_state(mesh, state)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    n = cfg.TRAIN.batch_size_per_gpu * mesh.devices.size
     step = jax.jit(train_step, donate_argnums=(0,))
 
     shapes = predicted_shapes(cfg, args.iters)
     if args.limit:
         shapes = shapes[: args.limit]
-    n = cfg.TRAIN.batch_size_per_gpu
     ds = cfg.DATASET.segm_downsampling_rate
     raw = cfg.TPU.device_preproc
     key = jax.random.PRNGKey(0)
@@ -90,12 +100,17 @@ def main(argv=None):
     for i, (h, w) in enumerate(shapes):
         batch = {
             "img_data": jax.ShapeDtypeStruct(
-                (n, h, w, 3), jnp.uint8 if raw else jnp.float32
+                (n, h, w, 3), jnp.uint8 if raw else jnp.float32,
+                sharding=batch_sharding,
             ),
-            "seg_label": jax.ShapeDtypeStruct((n, h // ds, w // ds), jnp.int32),
+            "seg_label": jax.ShapeDtypeStruct(
+                (n, h // ds, w // ds), jnp.int32, sharding=batch_sharding
+            ),
         }
         if raw:
-            batch["img_valid_hw"] = jax.ShapeDtypeStruct((n, 2), jnp.int32)
+            batch["img_valid_hw"] = jax.ShapeDtypeStruct(
+                (n, 2), jnp.int32, sharding=batch_sharding
+            )
         t0 = time.perf_counter()
         step.lower(state, batch, key).compile()
         dt = time.perf_counter() - t0
