@@ -300,6 +300,12 @@ def main(argv=None):
                              "original image (one upload per image, ~5.7x "
                              "less H2D, ~3x less host CPU; Pillow-equivalent "
                              "antialiased resize, drift <=1/255 per pixel)")
+    parser.add_argument("--start-idx", type=int, default=-1,
+                        help="val-list shard start (multi-host eval: give "
+                        "each host a slice, as eval_multipro.py:88-92 does "
+                        "per GPU, and sum the printed inter/union)")
+    parser.add_argument("--end-idx", type=int, default=-1,
+                        help="val-list shard end (exclusive)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
 
@@ -355,6 +361,8 @@ def main(argv=None):
         device_pyramid_canvas=(
             engines[0].ori_canvas if device_pyramid else None
         ),
+        start_idx=args.start_idx,
+        end_idx=args.end_idx,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
     evaluate(
