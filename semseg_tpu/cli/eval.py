@@ -305,9 +305,17 @@ def main(argv=None):
                         "each host a slice, as eval_multipro.py:88-92 does "
                         "per GPU, and sum the printed inter/union)")
     parser.add_argument("--end-idx", type=int, default=-1,
-                        help="val-list shard end (exclusive)")
+                        help="val-list shard end (exclusive; omit for "
+                        "'to the end')")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
+    # parse_odgt slices only when BOTH indices are >= 0; resolve open-ended
+    # shards here so '--start-idx 1000' means 1000..end, not 'full list'.
+    if (args.start_idx >= 0) != (args.end_idx >= 0):
+        if args.start_idx >= 0:
+            args.end_idx = 1 << 31
+        else:
+            args.start_idx = 0
 
     cfg.merge_from_file(args.cfg)
     if args.opts:

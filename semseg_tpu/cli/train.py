@@ -165,18 +165,20 @@ def main(argv=None):
         prefetch=cfg.TPU.prefetch * 4,
     )
     # Batches arrive on-device: a prefetch thread overlaps the host→device
-    # transfer of the next batches with the running step. Under multi-host,
-    # batch assembly contains a cross-process collective (the dims
-    # allgather in shard_local_batch) — collectives MUST launch in the same
-    # order on every process, so it runs on the MAIN thread, strictly
-    # interleaved with the steps (a prefetch thread could order its
-    # allgather before or after the concurrent step's collectives
-    # differently per process and deadlock the pod). Host-side prefetch
-    # (decode/resize/pad) still overlaps via TrainLoader's own workers.
+    # transfer of the next batches with the running step. Under multi-host
+    # this is only safe because batch assembly is collective-FREE: the
+    # canvas-dims exchange inside shard_local_batch goes through the
+    # coordination-service KV store and the global array is built from
+    # process-local shards (no cross-host device op). Device collectives
+    # must launch in the same order on every process — they all live inside
+    # the jitted step, which only the main thread dispatches.
     if n_proc > 1:
         from semseg_tpu.parallel.distributed import shard_local_batch
 
-        loader_iter = (shard_local_batch(mesh, local) for local in iter(loader))
+        loader_iter = device_prefetch(
+            iter(loader), mesh, depth=cfg.TPU.prefetch,
+            put=lambda local: shard_local_batch(mesh, local),
+        )
     else:
         loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
     step_fn = jitted_train_step()

@@ -137,18 +137,11 @@ class InferenceEngine:
         into the first conv. The image arrives padded as uint8 (4x smaller
         host→device transfer); (h, w) are dynamic scalars, so one compile
         serves every image in the same bucket."""
-        from semseg_tpu.data.transforms import MEAN, STD
-
-        mean = jnp.asarray(MEAN)
-        std = jnp.asarray(STD)
+        from semseg_tpu.ops.preproc import normalize_u8_masked
 
         @jax.jit
         def run(variables, img_u8, h, w):
-            x = img_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
-            rows = jnp.arange(img_u8.shape[1])[None, :, None, None] < h
-            cols = jnp.arange(img_u8.shape[2])[None, None, :, None] < w
-            x = jnp.where(rows & cols, x, 0.0)
+            x = normalize_u8_masked(img_u8, h, w)
             out = self.model.apply(variables, x, seg_size=None, train=False)
             return out.astype(self.fetch_dtype)
 
@@ -256,18 +249,11 @@ class BatchedInferenceEngine(InferenceEngine):
 
     @functools.cached_property
     def _batched_raw_fn(self):
-        from semseg_tpu.data.transforms import MEAN, STD
-
-        mean = jnp.asarray(MEAN)
-        std = jnp.asarray(STD)
+        from semseg_tpu.ops.preproc import normalize_u8_masked
 
         @jax.jit
         def run(variables, img_u8, hs, ws):
-            x = img_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
-            rows = jnp.arange(img_u8.shape[1])[None, :, None, None] < hs[:, None, None, None]
-            cols = jnp.arange(img_u8.shape[2])[None, None, :, None] < ws[:, None, None, None]
-            x = jnp.where(rows & cols, x, 0.0)
+            x = normalize_u8_masked(img_u8, hs, ws)
             out = self.model.apply(variables, x, seg_size=None, train=False)
             return out.astype(self.fetch_dtype)
 
@@ -464,6 +450,17 @@ class BatchedInferenceEngine(InferenceEngine):
         assert all(len(p) for p in items), "every item needs >= 1 level"
         seg_sizes = [lab.shape for lab in labels]
 
+        out = self._windowed_accumulate(
+            items, seg_sizes, self._metrics_finalizer(seg_sizes, labels)
+        )
+        return self._fetch_packed_metrics(out, len(items))
+
+    def _windowed_accumulate(self, items, seg_sizes, finalize):
+        """Canvas-budget-windowed driver over host pyramids: group each
+        window's levels by bucket, forward + accumulate, finalize per item.
+        Windows bound live HBM because the device executes its stream in
+        order — window k+1's canvas allocations run after window k's
+        finalizers, whose canvases are freed on their last consumer."""
         out: dict = {}
         for window in self._canvas_windows(seg_sizes, range(len(items))):
             in_window = set(window)
@@ -478,10 +475,10 @@ class BatchedInferenceEngine(InferenceEngine):
                 self._accumulate_on_device(
                     seg_sizes, groups, {i: len(items[i]) for i in window},
                     self._forward_host_chunk,
-                    self._metrics_finalizer(seg_sizes, labels),
+                    finalize,
                 )
             )
-        return self._fetch_packed_metrics(out, len(items))
+        return out
 
     def _metrics_finalizer(self, seg_sizes, labels):
         def finalize(item_idx, acc):
@@ -505,23 +502,9 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def _device_postproc_predict(self, items, seg_sizes):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
-        preds: dict = {}
-        for window in self._canvas_windows(seg_sizes, range(len(items))):
-            in_window = set(window)
-            groups = self._group_by_bucket(
-                [
-                    items[i] if i in in_window else []
-                    for i in range(len(items))
-                ],
-                self.bucket_step,
-            )
-            preds.update(
-                self._accumulate_on_device(
-                    seg_sizes, groups, {i: len(items[i]) for i in window},
-                    self._forward_host_chunk,
-                    lambda _i, acc: self._argmax_fn(acc),
-                )
-            )
+        preds = self._windowed_accumulate(
+            items, seg_sizes, lambda _i, acc: self._argmax_fn(acc)
+        )
         return [
             np.asarray(preds[i])[: seg_sizes[i][0], : seg_sizes[i][1]].astype(
                 np.int64
@@ -678,10 +661,7 @@ class DevicePyramidEngine(BatchedInferenceEngine):
         normalize + valid-mask + forward. Compiled once per level-bucket
         shape, exactly like the host-pyramid batched path.
         """
-        from semseg_tpu.data.transforms import MEAN, STD
-
-        mean = jnp.asarray(MEAN)
-        std = jnp.asarray(STD)
+        from semseg_tpu.ops.preproc import normalize_255, valid_mask
 
         @functools.partial(jax.jit, static_argnums=(5, 6))
         def run(variables, canvases, ohs, ows, ths_tws, lh, lw):
@@ -695,10 +675,9 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                                preferred_element_type=jnp.float32)
                 x = jnp.einsum("pw,owc->opc", m_w, x,
                                preferred_element_type=jnp.float32)
-                x = (x / 255.0 - mean) / std
-                rows = jnp.arange(lh)[:, None, None] < th
-                cols = jnp.arange(lw)[None, :, None] < tw
-                return jnp.where(rows & cols, x, 0.0)
+                x = normalize_255(x)
+                mask = valid_mask((lh, lw), th, tw)
+                return jnp.where(mask[..., None], x, 0.0)
 
             x = jax.vmap(one)(canvases, ohs, ows, ths, tws)
             out = self.model.apply(variables, x, seg_size=None, train=False)

@@ -258,10 +258,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
     try:
         state = torch.load(path, map_location="cpu", weights_only=True)
-    except pickle.UnpicklingError:
-        # Older zoo files contain pickled nn.Module objects that
-        # weights_only rejects. Full unpickling executes code from the
-        # file — only retry for this specific rejection, and say so.
+    except (pickle.UnpicklingError, RuntimeError, AttributeError):
+        # Older zoo files contain pickled nn.Module objects (or legacy
+        # pre-zipfile formats) that weights_only rejects — the rejection
+        # surfaces as UnpicklingError or RuntimeError depending on torch
+        # version/format. Full unpickling executes code from the file —
+        # retry loudly so the trust decision is visible.
         logging.getLogger("Logger").warning(
             "%s is not a weights-only checkpoint; falling back to full "
             "unpickling (only do this for files you trust)", path,

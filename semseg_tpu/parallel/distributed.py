@@ -30,6 +30,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger("Logger")
 
 
+def _client():
+    """The live jax.distributed client, or None.
+
+    jax._src is unstable API; if the probe location moves in a future jax,
+    treat the client as absent rather than crashing --multihost startup.
+    """
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        return getattr(_jax_distributed.global_state, "client", None)
+    except (ImportError, AttributeError):
+        return None
+
+
 def initialize(coordinator_address=None, num_processes=None, process_id=None,
                initialization_timeout=None):
     """jax.distributed handshake.
@@ -45,10 +59,9 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     # jax.devices, ...) before the handshake — the distributed client has to
     # come up first. Detect an existing client via the runtime state object,
     # which lives at jax._src.distributed.global_state on current jax (it is
-    # not re-exported under jax.distributed).
-    from jax._src import distributed as _jax_distributed
-
-    if getattr(_jax_distributed.global_state, "client", None) is not None:
+    # not re-exported under jax.distributed; probe defensively since
+    # jax._src is unstable API — on a miss we just attempt initialization).
+    if _client() is not None:
         return  # already initialized
 
     coordinator_address = coordinator_address or os.environ.get(
@@ -125,6 +138,44 @@ def local_batch_slice(per_device: int) -> slice:
 _PAD_VALUE = {"img_data": 0.0, "seg_label": -1}
 
 
+_canvas_sync_seq = 0
+
+
+def _exchange_dims(dims: np.ndarray) -> np.ndarray:
+    """Cross-process elementwise max of ``dims``, WITHOUT a device
+    collective.
+
+    Runs through the coordination-service KV store (host-side RPCs), so it
+    is safe to call from the prefetch thread: device collectives must
+    launch in the same order on every process (interleaving one from a
+    background thread against the step stream deadlocks a pod), but KV
+    traffic has no such constraint. Every process must call this in the
+    same sequence — guaranteed here because each consumes its batch stream
+    in lockstep. Keys are tiny strings; one epoch leaves ~epoch_iters of
+    them on the coordinator, which is negligible.
+    """
+    global _canvas_sync_seq
+    client = _client()
+    seq = _canvas_sync_seq
+    _canvas_sync_seq += 1
+    if client is None:  # unexpected: multi-process without a client
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(dims)
+        ).reshape(jax.process_count(), -1).max(axis=0)
+
+    base = f"semseg/canvas_dims/{seq}"
+    client.key_value_set(
+        f"{base}/{jax.process_index()}", ",".join(map(str, dims.tolist()))
+    )
+    rows = []
+    for p in range(jax.process_count()):
+        val = client.blocking_key_value_get(f"{base}/{p}", 120_000)
+        rows.append(np.fromiter((int(v) for v in val.split(",")), np.int32))
+    return np.stack(rows).max(axis=0)
+
+
 def _sync_batch_canvas(local_batch: dict) -> dict:
     """Pad each process's batch to the cross-process maximum (H, W).
 
@@ -132,21 +183,18 @@ def _sync_batch_canvas(local_batch: dict) -> dict:
     different per-batch scale — exactly like the reference's per-GPU batches
     under UserScatteredDataParallel), so their padded canvases differ; but a
     global jax.Array needs every process to contribute the SAME shape. One
-    tiny host allgather of the dims (overlapped in the prefetch thread)
-    resolves the global canvas; everything stays on the shared bucket
-    lattice, so the jit shape set does not grow beyond it.
+    tiny KV-store exchange of the dims resolves the global canvas (see
+    ``_exchange_dims`` — deliberately NOT a device collective, so the whole
+    assembly may run on the prefetch thread); everything stays on the
+    shared bucket lattice, so the jit shape set does not grow beyond it.
     """
-    from jax.experimental import multihost_utils
-
     # Only spatial arrays (N, H, W, ...) need a canvas; per-image metadata
     # like img_valid_hw (N, 2) already has a process-invariant shape.
     keys = sorted(k for k, v in local_batch.items() if v.ndim >= 3)
     dims = np.asarray(
         [d for k in keys for d in local_batch[k].shape[1:3]], np.int32
     )
-    global_dims = np.asarray(
-        multihost_utils.process_allgather(dims)
-    ).reshape(jax.process_count(), -1).max(axis=0)
+    global_dims = _exchange_dims(dims)
 
     out = dict(local_batch)  # non-spatial keys pass through untouched
     for i, k in enumerate(keys):

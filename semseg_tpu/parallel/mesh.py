@@ -75,7 +75,10 @@ def device_prefetch(iterator, mesh: Mesh, depth: int = 2, put=None):
 
     ``put``: host-batch → device-batch function; defaults to ``shard_batch``
     (single-host). Multi-host passes ``shard_local_batch`` so per-process
-    local slices are assembled into global sharded arrays off the step path.
+    local slices are assembled into global sharded arrays off the step path
+    — safe ONLY because that assembly launches no device collectives (its
+    dims exchange is a KV-store RPC); a ``put`` that runs collectives from
+    this thread would race the step's collectives and deadlock a pod.
     """
     import queue
     import threading

@@ -90,22 +90,12 @@ def create_train_state(cfg, model, variables) -> TrainState:
 
 
 def _normalize_raw(img_u8, valid_hw):
-    """On-device normalize for raw uint8 batches (TPU.device_preproc).
+    """On-device normalize for raw uint8 batches (TPU.device_preproc):
+    host-pipeline arithmetic + zero-pad-in-normalized-space (see
+    ``ops.preproc``)."""
+    from semseg_tpu.ops.preproc import normalize_u8_masked
 
-    Reproduces the host pipeline exactly: (x/255 - MEAN)/STD in float32,
-    then ZERO outside each image's valid (h, w) — the reference pads the
-    canvas AFTER normalization (dataset.py:139-151), so pad pixels must be
-    0 in normalized space, not the normalized value of black.
-    """
-    from semseg_tpu.data.transforms import MEAN, STD
-
-    x = img_u8.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(MEAN)) / jnp.asarray(STD)
-    n, h, w, _ = img_u8.shape
-    ih = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
-    valid = (ih < valid_hw[:, 0, None, None]) & (iw < valid_hw[:, 1, None, None])
-    return jnp.where(valid[..., None], x, 0.0)
+    return normalize_u8_masked(img_u8, valid_hw[:, 0], valid_hw[:, 1])
 
 
 def train_step(state: TrainState, batch, rng):

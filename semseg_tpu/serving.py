@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from semseg_tpu.data.transforms import MEAN, STD
+from semseg_tpu.ops.preproc import normalize_u8
 from semseg_tpu.ops.resize import resize_bilinear
 
 _MANIFEST = "manifest.json"
@@ -41,7 +41,7 @@ def _program(model, treedef, h, w):
 
     def run(leaves, img_u8):
         variables = jax.tree.unflatten(treedef, leaves)
-        x = (img_u8.astype(jnp.float32) / 255.0 - jnp.asarray(MEAN)) / jnp.asarray(STD)
+        x = normalize_u8(img_u8)
         logits = model.apply(variables, x, train=False)
         full = resize_bilinear(logits.astype(jnp.float32), (h, w))
         return jnp.argmax(full, axis=-1).astype(jnp.uint8)

@@ -43,7 +43,15 @@ def enable_compile_cache(path: str = "", *, min_compile_secs: float = 0.5) -> st
     import jax
 
     cache_dir = path or DEFAULT_DIR
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        # Read-only HOME / batch sandbox: the cache is an optimization, not
+        # a requirement — degrade to disabled rather than failing the run.
+        logging.getLogger("Logger").warning(
+            "compilation cache disabled (cannot create %s: %s)", cache_dir, e
+        )
+        return ""
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", min_compile_secs

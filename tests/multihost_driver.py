@@ -37,15 +37,15 @@ def main(out_dir):
     mesh = mesh_mod.make_mesh()
     assert mesh.devices.size == 4
 
-    # Per-process local batches -> global sharded arrays, assembled on the
-    # MAIN thread exactly as cli/train.py's multi-host branch does (the
-    # dims allgather inside shard_local_batch is a collective and must
-    # launch in the same order as the steps on every process). The two
-    # processes deliberately produce DIFFERENT (H, W) canvases — the real
-    # TrainDataset streams are independent per host, so at any step the
-    # padded batch shapes diverge; shard_local_batch must resolve a common
-    # canvas (images zero-padded, labels ignore(-1)-padded) or the global
-    # array assembly deadlocks/corrupts.
+    # Per-process local batches -> global sharded arrays, via the prefetch
+    # thread exactly as cli/train.py's multi-host branch does — safe
+    # because shard_local_batch launches no device collectives (the canvas
+    # dims exchange is a KV-store RPC, see distributed._exchange_dims).
+    # The two processes deliberately produce DIFFERENT (H, W) canvases —
+    # the real TrainDataset streams are independent per host, so at any
+    # step the padded batch shapes diverge; shard_local_batch must resolve
+    # a common canvas (images zero-padded, labels ignore(-1)-padded) or the
+    # global array assembly deadlocks/corrupts.
     h = 8 + 4 * pid  # process 0: 8 rows; process 1: 12 rows
     def local_batches():
         for step in range(3):
@@ -54,9 +54,9 @@ def main(out_dir):
                 "seg_label": np.full((2, 1 + pid, 1), pid, np.int32),
             }
 
-    it = (
-        distributed.shard_local_batch(mesh, local)
-        for local in local_batches()
+    it = mesh_mod.device_prefetch(
+        local_batches(), mesh, depth=2,
+        put=lambda local: distributed.shard_local_batch(mesh, local),
     )
 
     reduce_fn = jax.jit(
