@@ -128,19 +128,46 @@ class Predictor:
 
     def predict(self, img: np.ndarray) -> np.ndarray:
         """uint8 (H, W, 3) image → int64 (H, W) label map (0-based)."""
+        return self.predict_batch([img])[0]
+
+    def predict_batch(self, imgs) -> list:
+        """Segment a list of uint8 (H, W, 3) images.
+
+        Images are grouped by their picked bucket and packed into the
+        exported batch dimension (final partial chunks pad with the last
+        entry, whose surplus outputs are dropped) — one program call per
+        chunk instead of per image.
+        """
         from PIL import Image
 
-        H, W = img.shape[:2]
-        key = self._pick(H, W)
-        b, bh, bw = key
-        resized = np.asarray(
-            Image.fromarray(img).resize((bw, bh), Image.BILINEAR), np.uint8
-        )
-        batch = np.zeros((b, bh, bw, 3), np.uint8)
-        batch[0] = resized
-        out = np.asarray(self.programs[key].call(self.leaves, batch))[0]
-        if (bh, bw) != (H, W):
-            out = np.asarray(
-                Image.fromarray(out).resize((W, H), Image.NEAREST)
-            )
-        return out.astype(np.int64)
+        by_key: dict = {}
+        for idx, img in enumerate(imgs):
+            by_key.setdefault(self._pick(*img.shape[:2]), []).append(idx)
+
+        out: list = [None] * len(imgs)
+        for key, indices in by_key.items():
+            b, bh, bw = key
+            resized = [
+                np.asarray(
+                    Image.fromarray(imgs[i]).resize(
+                        (bw, bh), Image.BILINEAR
+                    ),
+                    np.uint8,
+                )
+                for i in indices
+            ]
+            for lo in range(0, len(indices), b):
+                chunk = indices[lo : lo + b]
+                batch = np.zeros((b, bh, bw, 3), np.uint8)
+                for j, i in enumerate(chunk):
+                    batch[j] = resized[lo + j]
+                maps = np.asarray(self.programs[key].call(self.leaves, batch))
+                for j, i in enumerate(chunk):
+                    H, W = imgs[i].shape[:2]
+                    m = maps[j]
+                    if (bh, bw) != (H, W):
+                        m = np.asarray(
+                            Image.fromarray(m).resize((W, H), Image.NEAREST)
+                        )
+                    out[i] = m.astype(np.int64)
+        return out

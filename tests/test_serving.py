@@ -48,6 +48,25 @@ def test_bundle_roundtrip(small_model, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_predict_batch_matches_predict(small_model, tmp_path):
+    """Packed batched prediction must equal one-at-a-time prediction."""
+    model, variables = small_model
+    out = str(tmp_path / "bundle")
+    export_bundle(
+        model, variables, out, shapes=[(64, 64), (64, 96)], batch_size=2
+    )
+    pred = Predictor(out)
+    rng = np.random.RandomState(2)
+    imgs = [
+        rng.randint(0, 256, (64, 64, 3), dtype=np.uint8),
+        rng.randint(0, 256, (64, 96, 3), dtype=np.uint8),
+        rng.randint(0, 256, (64, 64, 3), dtype=np.uint8),  # odd-size chunk
+    ]
+    batch_out = pred.predict_batch(imgs)
+    for img, got in zip(imgs, batch_out):
+        np.testing.assert_array_equal(got, pred.predict(img))
+
+
 def test_bundle_resizes_foreign_shapes(small_model, tmp_path):
     model, variables = small_model
     out = str(tmp_path / "bundle")
