@@ -113,7 +113,7 @@ def bench_ms_protocol(cfg_node, model, variables):
     )
     engine.batched_metrics(pyramids[:4], labels[:4])  # compile + warmup
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # the tunnel link drifts between minutes; sample wider
         t0 = time.perf_counter()
         out = engine.batched_metrics(pyramids, labels)
         assert len(out) == N_IMAGES
@@ -149,7 +149,7 @@ def bench_ms_device_pyramid(cfg_node, model, variables):
     )
     engine.batched_metrics_from_originals(originals[:4], labels[:4])  # warmup
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # the tunnel link drifts between minutes; sample wider
         t0 = time.perf_counter()
         out = engine.batched_metrics_from_originals(originals, labels)
         assert len(out) == N_IMAGES
