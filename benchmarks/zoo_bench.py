@@ -80,8 +80,12 @@ def main():
             {
                 "config": name,
                 "resolution": f"{h}x{w}",
+                "batch": args.batch,
                 "fps": round(fps, 1),
                 "ref_gpu_fps": ref_fps,
+                # Throughput at the recorded batch vs the reference's
+                # published batch-1 fps — a regime difference, not
+                # like-for-like latency (see README "Performance").
                 "speedup": round(fps / ref_fps, 1),
             }
         )

@@ -23,6 +23,31 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def resolve_reference_checkpoint(cfg, name: str) -> None:
+    """Point ``cfg.MODEL.weights_*`` at checkpoint ``name`` under cfg.DIR.
+
+    Shared by eval/test/export CLIs. Resolution mirrors the reference
+    naming (``encoder_<name>`` / ``decoder_<name>`` .pth pair,
+    eval.py:183-188), falling back to the native orbax directory
+    ``<name minus .pth>/``. A missing checkpoint raises, as the
+    reference's ``assert os.path.exists(...)`` does. No-op when ``name``
+    is empty or explicit weight paths are already set.
+    """
+    if not name or cfg.MODEL.weights_encoder:
+        return
+    enc = os.path.join(cfg.DIR, "encoder_" + name)
+    native = os.path.join(cfg.DIR, name.replace(".pth", ""))
+    if os.path.exists(enc):
+        cfg.MODEL.weights_encoder = enc
+        cfg.MODEL.weights_decoder = os.path.join(cfg.DIR, "decoder_" + name)
+    elif os.path.isdir(native):
+        cfg.MODEL.weights_encoder = native
+    else:
+        raise FileNotFoundError(
+            f"checkpoint {name!r}: neither {enc} nor {native} exists"
+        )
+
+
 def save_train_state(ckpt_dir: str, epoch: int, state, history: Optional[dict] = None):
     """Save params/batch_stats/opt_state/step under ``ckpt_dir/epoch_N``."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))

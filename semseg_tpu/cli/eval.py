@@ -204,7 +204,15 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
         f"Accuracy: {acc_meter.average() * 100:.2f}%, "
         f"Inference Time: {time_meter.average():.4f}s"
     )
-    return miou, acc_meter.average(), iou
+    raw = {
+        # Shard-combinable sums (per-class ratios are NOT combinable):
+        # global metrics = f(Σ over shards of each array/scalar).
+        "acc_sum": float(acc_meter.sum or 0.0),
+        "pix_count": float(acc_meter.count or 0.0),
+        "inter": iou_meter_inter,
+        "union": iou_meter_union,
+    }
+    return miou, acc_meter.average(), iou, raw
 
 
 def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
@@ -303,10 +311,15 @@ def main(argv=None):
     parser.add_argument("--start-idx", type=int, default=-1,
                         help="val-list shard start (multi-host eval: give "
                         "each host a slice, as eval_multipro.py:88-92 does "
-                        "per GPU, and sum the printed inter/union)")
+                        "per GPU; combine shards with "
+                        "tools/combine_eval_shards.py over --metrics-out "
+                        "files)")
     parser.add_argument("--end-idx", type=int, default=-1,
                         help="val-list shard end (exclusive; omit for "
                         "'to the end')")
+    parser.add_argument("--metrics-out", default="",
+                        help="write raw combinable metric sums (acc_sum, "
+                        "pix_count, per-class inter/union) to this .npz")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
     # parse_odgt slices only when BOTH indices are >= 0; resolve open-ended
@@ -324,18 +337,9 @@ def main(argv=None):
         cfg.TPU.eval_bucket_step = args.bucket_step
 
     # Reference checkpoint name convention (eval.py:183-188).
-    if cfg.VAL.checkpoint and not cfg.MODEL.weights_encoder:
-        enc = os.path.join(cfg.DIR, "encoder_" + cfg.VAL.checkpoint)
-        dec = os.path.join(cfg.DIR, "decoder_" + cfg.VAL.checkpoint)
-        if os.path.exists(enc):
-            cfg.MODEL.weights_encoder = enc
-            cfg.MODEL.weights_decoder = dec
-        else:
-            native = os.path.join(
-                cfg.DIR, cfg.VAL.checkpoint.replace(".pth", "")
-            )
-            if os.path.isdir(native):
-                cfg.MODEL.weights_encoder = native
+    from semseg_tpu.checkpoint import resolve_reference_checkpoint
+
+    resolve_reference_checkpoint(cfg, cfg.VAL.checkpoint)
 
     from semseg_tpu.utils.compile_cache import enable_compile_cache
 
@@ -373,7 +377,7 @@ def main(argv=None):
         end_idx=args.end_idx,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
-    evaluate(
+    *_, raw = evaluate(
         engines,
         loader,
         cfg,
@@ -381,6 +385,9 @@ def main(argv=None):
         visualize=cfg.VAL.visualize,
         vis_dir=os.path.join(cfg.DIR, "result"),
     )
+    if args.metrics_out:
+        np.savez(args.metrics_out, **raw)
+        logger.info(f"Wrote raw metric sums to {args.metrics_out}")
     logger.info("Evaluation Done!")
 
 

@@ -63,12 +63,9 @@ def main(argv=None):
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    if cfg.TEST.checkpoint and not cfg.MODEL.weights_encoder:
-        enc = os.path.join(cfg.DIR, "encoder_" + cfg.TEST.checkpoint)
-        dec = os.path.join(cfg.DIR, "decoder_" + cfg.TEST.checkpoint)
-        if os.path.exists(enc):
-            cfg.MODEL.weights_encoder = enc
-            cfg.MODEL.weights_decoder = dec
+    from semseg_tpu.checkpoint import resolve_reference_checkpoint
+
+    resolve_reference_checkpoint(cfg, cfg.TEST.checkpoint)
 
     # generate testing image list (test.py:184-193)
     if os.path.isdir(args.imgs):

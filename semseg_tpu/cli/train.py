@@ -77,6 +77,14 @@ def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logg
             )
             history["train"]["loss"].append(ave_loss.value())
             history["train"]["acc"].append(ave_acc.value())
+    if cfg.TRAIN.epoch_iters % cfg.TRAIN.disp_iter:
+        # The tail window past the last disp boundary was flushed above;
+        # surface it (the reference's meters absorb these iterations too,
+        # train.py:49-57, they just never print again).
+        logger.info(
+            f"Epoch: [{epoch + 1}] done, "
+            f"Accuracy: {ave_acc.average():4.2f}, Loss: {ave_loss.average():.6f}"
+        )
     return state
 
 

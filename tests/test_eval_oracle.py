@@ -135,7 +135,7 @@ def test_exact_mode_matches_reference(oracle):
 
     Compares the summary metrics AND the full 150-class IoU vector (parsed
     from the reference's own per-class printout, eval.py:98-100)."""
-    miou, acc, iou = _run_ours(oracle, exact=True)
+    miou, acc, iou, _ = _run_ours(oracle, exact=True)
     dm = abs(miou - oracle["ref_miou"])
     da = abs(acc - oracle["ref_acc"])
     print(
@@ -152,7 +152,7 @@ def test_bucketed_bf16_default_is_protocol_exact(oracle):
     preprocess, bf16 fetch) rounds to the same lattice as the reference's
     padding_constant=8 — the protocol is identical, so only conv/bf16
     numerics separate it from the torch pipeline."""
-    miou, acc, iou = _run_ours(oracle, exact=False, fetch_dtype="bfloat16")
+    miou, acc, iou, _ = _run_ours(oracle, exact=False, fetch_dtype="bfloat16")
     dm = abs(miou - oracle["ref_miou"])
     da = abs(acc - oracle["ref_acc"])
     dclass = np.abs(iou - oracle["ref_iou"]).max()
@@ -166,7 +166,7 @@ def test_bucketed_step16_drift_bounded(oracle):
     drift. This setup is deliberately adversarial: 144-288px images make the
     relative lattice distortion 2-3x larger than at deployment scales
     (realistic-scale measurements in PARITY.md: ~4e-4 mIoU / ~2e-3 acc)."""
-    miou, acc, iou = _run_ours(
+    miou, acc, iou, _ = _run_ours(
         oracle, exact=False, fetch_dtype="bfloat16", bucket=16
     )
     dm = abs(miou - oracle["ref_miou"])
@@ -181,7 +181,7 @@ def test_device_pyramid_drift(oracle):
     """Device-derived pyramids (one original upload, antialiased on-device
     resize) vs the reference: the only divergence from the default bucketed
     path is Pillow's fixed-point resize rounding (<=1/255 per pixel)."""
-    miou, acc, iou = _run_ours(
+    miou, acc, iou, _ = _run_ours(
         oracle, exact=False, batch=4, fetch_dtype="bfloat16", bucket=8,
         device_pyramid=True,
     )
@@ -196,7 +196,7 @@ def test_device_pyramid_drift(oracle):
 def test_batched_device_metrics_drift(oracle):
     """Batched engine with fully on-device metrics (throughput mode) at the
     default parity-safe lattice."""
-    miou, acc, iou = _run_ours(
+    miou, acc, iou, _ = _run_ours(
         oracle, exact=False, batch=4, fetch_dtype="bfloat16", bucket=8
     )
     dm = abs(miou - oracle["ref_miou"])

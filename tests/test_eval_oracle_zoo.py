@@ -122,7 +122,7 @@ def test_zoo_exact_matches_reference(valset, tmp_path, enc_arch, dec_arch,
     c.TPU.compute_dtype = "float32"
     c.VAL.visualize = False
 
-    miou, acc, iou = _run_ours_exact(c)
+    miou, acc, iou, _ = _run_ours_exact(c)
     dm = abs(miou - ref_miou)
     da = abs(acc - ref_acc)
     print(

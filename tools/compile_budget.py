@@ -70,7 +70,8 @@ def simulate(records, *, batch_per_gpu, bucket_step, iters, img_sizes,
         shapes[shape] += 1
         valid_px += sum(h * w for h, w in zip(hs, ws))
         padded_px += shape[0] * shape[1] * len(batch)
-    return shapes, first_seen_at, 1 - valid_px / padded_px
+    waste = 1 - valid_px / padded_px if padded_px else 0.0
+    return shapes, first_seen_at, waste
 
 
 def main():
@@ -95,8 +96,9 @@ def main():
             )
             counts = np.array(sorted(shapes.values()))
             late = sum(1 for it in first_seen.values() if it > args.iters // 2)
+            median = int(np.median(counts)) if len(counts) else 0
             print(f"{batch:>5} {bucket:>6} {len(shapes):>7} "
-                  f"{int(np.median(counts)):>15} {late:>25} "
+                  f"{median:>15} {late:>25} "
                   f"{100 * waste:>10.1f}")
     print(
         "\n'late shapes' = shapes first compiled after the epoch midpoint "

@@ -31,22 +31,9 @@ def main(argv=None):
     cfg.merge_from_file(args.cfg)
     if args.opts:
         cfg.merge_from_list(args.opts)
-    if cfg.TEST.checkpoint and not cfg.MODEL.weights_encoder:
-        # Reference .pth naming, else the native orbax checkpoint dir
-        # (same resolution as cli/eval.py).
-        enc = os.path.join(cfg.DIR, "encoder_" + cfg.TEST.checkpoint)
-        native = os.path.join(cfg.DIR, cfg.TEST.checkpoint.replace(".pth", ""))
-        if os.path.exists(enc):
-            cfg.MODEL.weights_encoder = enc
-            cfg.MODEL.weights_decoder = os.path.join(
-                cfg.DIR, "decoder_" + cfg.TEST.checkpoint
-            )
-        elif os.path.isdir(native):
-            cfg.MODEL.weights_encoder = native
-        else:
-            raise FileNotFoundError(
-                f"no checkpoint {enc} or {native} under {cfg.DIR}"
-            )
+    from semseg_tpu.checkpoint import resolve_reference_checkpoint
+
+    resolve_reference_checkpoint(cfg, cfg.TEST.checkpoint)
 
     shapes = []
     pad = cfg.DATASET.padding_constant

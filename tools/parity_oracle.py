@@ -123,7 +123,7 @@ def main():
             device_preprocess=not exact,
             bucket_step=None if exact else c.TPU.eval_bucket_step,
         )
-        miou, acc, iou = evaluate(
+        miou, acc, iou, _ = evaluate(
             engines, EvalLoader(ds, num_workers=2, prefetch=4), c, logger
         )
         dm, da = miou - ref_miou, acc - ref_acc

@@ -26,15 +26,21 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def predicted_shapes(cfg, iters):
-    """Distinct train-batch (H, W) over a simulated epoch, most-used first."""
+def predicted_shapes(cfg, iters, local_batch):
+    """Distinct train-batch (H, W) over a simulated epoch, most-used first.
+
+    ``local_batch`` must be the PER-PROCESS record count the real loader
+    maxes each canvas over (batch_size_per_gpu x n_devices / n_processes,
+    cli/train.py:120-125) — simulating with batch_size_per_gpu alone
+    predicts a different shape set than training compiles.
+    """
     from tools.compile_budget import simulate
 
     with open(cfg.DATASET.list_train) as f:
         records = [json.loads(line) for line in f if line.strip()]
     shapes, _, _ = simulate(
         records,
-        batch_per_gpu=cfg.TRAIN.batch_size_per_gpu,
+        batch_per_gpu=local_batch,
         bucket_step=cfg.TPU.bucket_step,
         iters=iters,
         img_sizes=cfg.DATASET.imgSizes,
@@ -88,9 +94,10 @@ def main(argv=None):
     state = replicate_state(mesh, state)
     batch_sharding = NamedSharding(mesh, P("data"))
     n = cfg.TRAIN.batch_size_per_gpu * mesh.devices.size
+    local_batch = n // jax.process_count()
     step = jax.jit(train_step, donate_argnums=(0,))
 
-    shapes = predicted_shapes(cfg, args.iters)
+    shapes = predicted_shapes(cfg, args.iters, local_batch)
     if args.limit:
         shapes = shapes[: args.limit]
     ds = cfg.DATASET.segm_downsampling_rate
