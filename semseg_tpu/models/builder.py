@@ -131,7 +131,7 @@ class ModelBuilder:
         )
         deep_sup = (
             cfg.TRAIN.deep_sup_scale
-            if cfg.MODEL.arch_decoder.endswith("deepsup")
+            if cfg.MODEL.arch_decoder.endswith("deepsup") and "TRAIN" in cfg
             else None
         )
         return SegmentationModel(
@@ -195,5 +195,7 @@ def init_variables(
     if cpu is not None and jax.default_backend() != "cpu":
         with jax.default_device(cpu):
             variables = jax.tree.map(np.asarray, do_init())
-        return jax.device_put(variables, jax.devices()[0])
+        # local_devices, not devices: on a multi-host run the first GLOBAL
+        # device belongs to process 0 and is not addressable elsewhere.
+        return jax.device_put(variables, jax.local_devices()[0])
     return do_init()

@@ -76,9 +76,11 @@ class C1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, conv_out, seg_size=None, *, train: bool = False):
+    def __call__(self, conv_out, seg_size=None, *, train: bool = False,
+                 norm_train: Optional[bool] = None):
+        bn = train if norm_train is None else norm_train
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
-        x = _dec_cbr(self.fc_dim // 4, name="cbr", **kw)(conv_out[-1], train=train)
+        x = _dec_cbr(self.fc_dim // 4, name="cbr", **kw)(conv_out[-1], train=bn)
         x = _final_conv(self.num_class, dtype=self.dtype, name="conv_last")(x)
         if seg_size is not None:
             return _finish(x, seg_size)
@@ -94,9 +96,14 @@ class C1DeepSup(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, conv_out, seg_size=None, *, train: bool = False):
+    def __call__(self, conv_out, seg_size=None, *, train: bool = False,
+                 norm_train: Optional[bool] = None):
+        # ``train`` selects the deep-supervision branch; ``norm_train``
+        # (default: follow train) drives BN/dropout mode — they differ
+        # under cfg.TRAIN.fix_bn, which trains with frozen statistics.
+        bn = train if norm_train is None else norm_train
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
-        x = _dec_cbr(self.fc_dim // 4, name="cbr", **kw)(conv_out[-1], train=train)
+        x = _dec_cbr(self.fc_dim // 4, name="cbr", **kw)(conv_out[-1], train=bn)
         x = _final_conv(self.num_class, dtype=self.dtype, name="conv_last")(x)
         if seg_size is not None:
             return _finish(x, seg_size)
@@ -106,7 +113,7 @@ class C1DeepSup(nn.Module):
             return x.astype(acc_dtype(x.dtype))
 
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(
-            conv_out[-2], train=train
+            conv_out[-2], train=bn
         )
         ds = _final_conv(self.num_class, dtype=self.dtype, name="conv_last_deepsup")(ds)
         return x.astype(acc_dtype(x.dtype)), ds.astype(acc_dtype(x.dtype))
@@ -140,21 +147,22 @@ class PPM(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    def _trunk(self, conv5, train):
+    def _trunk(self, conv5, bn):
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         pyramid = [conv5]
         for i, scale in enumerate(self.pool_scales):
             pyramid.append(
-                _PPMPool(scale, name=f"ppm_{i}", **kw)(conv5, train=train)
+                _PPMPool(scale, name=f"ppm_{i}", **kw)(conv5, train=bn)
             )
         x = jnp.concatenate(pyramid, axis=-1)
-        x = _dec_cbr(512, name="conv_last_cbr", **kw)(x, train=train)
-        x = Dropout2d(0.1, name="dropout")(x, train=train)
+        x = _dec_cbr(512, name="conv_last_cbr", **kw)(x, train=bn)
+        x = Dropout2d(0.1, name="dropout")(x, train=bn)
         return _final_conv(self.num_class, dtype=self.dtype, name="conv_last")(x)
 
     @nn.compact
-    def __call__(self, conv_out, seg_size=None, *, train: bool = False):
-        x = self._trunk(conv_out[-1], train)
+    def __call__(self, conv_out, seg_size=None, *, train: bool = False,
+                 norm_train: Optional[bool] = None):
+        x = self._trunk(conv_out[-1], train if norm_train is None else norm_train)
         if seg_size is not None:
             return _finish(x, seg_size)
         return x.astype(acc_dtype(x.dtype))
@@ -164,8 +172,10 @@ class PPMDeepsup(PPM):
     """PPM with deep supervision off conv4 (models.py:438-495)."""
 
     @nn.compact
-    def __call__(self, conv_out, seg_size=None, *, train: bool = False):
-        x = self._trunk(conv_out[-1], train)
+    def __call__(self, conv_out, seg_size=None, *, train: bool = False,
+                 norm_train: Optional[bool] = None):
+        bn = train if norm_train is None else norm_train
+        x = self._trunk(conv_out[-1], bn)
         if seg_size is not None:
             return _finish(x, seg_size)
         if not train:
@@ -173,9 +183,9 @@ class PPMDeepsup(PPM):
 
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         ds = _dec_cbr(self.fc_dim // 4, name="cbr_deepsup", **kw)(
-            conv_out[-2], train=train
+            conv_out[-2], train=bn
         )
-        ds = Dropout2d(0.1, name="dropout_deepsup")(ds, train=train)
+        ds = Dropout2d(0.1, name="dropout_deepsup")(ds, train=bn)
         ds = _final_conv(self.num_class, dtype=self.dtype, name="conv_last_deepsup")(ds)
         return x.astype(acc_dtype(x.dtype)), ds.astype(acc_dtype(x.dtype))
 
@@ -197,7 +207,9 @@ class UPerNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, conv_out, seg_size=None, *, train: bool = False):
+    def __call__(self, conv_out, seg_size=None, *, train: bool = False,
+                 norm_train: Optional[bool] = None):
+        train = train if norm_train is None else norm_train  # BN-mode only head
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         conv5 = conv_out[-1]
         h, w = conv5.shape[1], conv5.shape[2]

@@ -41,8 +41,13 @@ class SegmentationModel(nn.Module):
     fix_bn: bool = False
 
     def __call__(self, img, seg_label=None, seg_size=None, *, train: bool = False):
-        train = train and not self.fix_bn
-        feats = self.encoder(img, train=train)
+        # fix_bn freezes BN statistics and dropout (the reference's
+        # `segmentation_module.train(not fix_bn)`, train.py:26) but must NOT
+        # turn off the training forward itself — the deep-supervision branch
+        # still runs and losses still flow, so branch selection (``train``)
+        # and layer mode (``norm_train``) are separate knobs.
+        norm_train = train and not self.fix_bn
+        feats = self.encoder(img, train=norm_train)
         if seg_size is not None:
             return self.decoder(feats, seg_size, train=False)
         if seg_label is None:
@@ -50,7 +55,7 @@ class SegmentationModel(nn.Module):
             # decoder resolution, no loss.
             return self.decoder(feats, train=False)
 
-        out = self.decoder(feats, train=train)
+        out = self.decoder(feats, train=train, norm_train=norm_train)
         if self.deep_sup_scale is not None:
             logits, logits_deepsup = out
         else:

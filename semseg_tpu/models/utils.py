@@ -39,5 +39,13 @@ def load_url(url: str, model_dir: str = "./pretrained", map_location=None) -> st
     cached_file = os.path.join(model_dir, filename)
     if not os.path.exists(cached_file):
         sys.stderr.write(f'Downloading: "{url}" to {cached_file}\n')
-        urlretrieve(url, cached_file)
+        # Download to a temp name and rename on success: a partial file at
+        # the final path would be treated as a valid cache forever after.
+        tmp = cached_file + ".part"
+        try:
+            urlretrieve(url, tmp)
+            os.replace(tmp, cached_file)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return cached_file

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import jax.lax as lax
 import numpy as np
 
+from .conv import _pair
 from .dtypes import acc_dtype
 
 

@@ -88,26 +88,48 @@ def device_prefetch(iterator, mesh: Mesh, depth: int = 2, put=None):
     stop = threading.Event()
     errors: list = []
 
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
                 if stop.is_set():
                     return
-                q.put(put(batch))
+                if not _put(put(batch)):
+                    return
         except Exception as e:
             errors.append(e)
         finally:
-            q.put(None)
+            _put(None)
 
     threading.Thread(target=worker, daemon=True).start()
 
     def gen():
-        while True:
-            item = q.get()
-            if item is None:
-                if errors:
-                    raise errors[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    if errors:
+                        raise errors[0]
+                    return
+                yield item
+        finally:
+            # Abandoned mid-stream (exception in the step loop, early
+            # exit): release the worker, which would otherwise block in
+            # q.put forever pinning depth+1 device batches in HBM.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     return gen()

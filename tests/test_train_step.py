@@ -73,6 +73,30 @@ class TestTrainStep:
         )
         assert changed > 0
 
+    def test_fix_bn_trains_deepsup_with_frozen_stats(self, rng):
+        """cfg.TRAIN.fix_bn + a *_deepsup decoder must train (the reference
+        runs eval-mode BN with both heads, train.py:26): params update, the
+        deep-supervision branch runs, BN statistics stay frozen."""
+        c = small_cfg()
+        c.TRAIN.fix_bn = True
+        model = ModelBuilder.build_model(c, dtype=jnp.float32)
+        variables = init_variables(model, seed=0)
+        state = create_train_state(c, model, variables)
+        batch = make_batch(rng)
+        s2, m = jax.jit(train_step)(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        for a, b in zip(
+            jax.tree.leaves(state.batch_stats), jax.tree.leaves(s2.batch_stats)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        changed = sum(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(state.params), jax.tree.leaves(s2.params)
+            )
+        )
+        assert changed > 0
+
     def test_raw_uint8_transport_matches_host_normalize(self, setup, rng):
         """TPU.device_preproc: a raw uint8 batch (+ per-image valid hw,
         normalize on device) must produce the same step as the host-side
@@ -267,6 +291,40 @@ class TestDeterminismAndPrecision:
         assert np.abs(s32 - s16).mean() < 2e-3
         agree = (s32.argmax(-1) == s16.argmax(-1)).mean()
         assert agree > 0.95, agree
+
+
+class TestDevicePrefetch:
+    def test_abandonment_releases_worker(self):
+        """Closing the prefetch generator mid-stream must stop the worker
+        (it otherwise blocks in q.put forever, pinning device batches)."""
+        import time
+
+        from semseg_tpu.parallel.mesh import device_prefetch, make_mesh
+
+        pulled = []
+
+        def source():
+            for i in range(1000):
+                pulled.append(i)
+                yield {"x": np.zeros((2, 2), np.float32)}
+
+        mesh = make_mesh(1)
+        it = device_prefetch(source(), mesh, depth=2)
+        next(it)
+        it.close()  # abandon mid-stream
+        time.sleep(0.6)  # > the worker's 0.2 s put timeout
+        n = len(pulled)
+        time.sleep(0.4)
+        assert len(pulled) == n, "worker still consuming after close"
+        assert n < 1000
+
+    def test_full_stream_delivery(self):
+        from semseg_tpu.parallel.mesh import device_prefetch, make_mesh
+
+        mesh = make_mesh(1)
+        batches = ({"x": np.full((1,), i, np.float32)} for i in range(7))
+        got = [float(b["x"][0]) for b in device_prefetch(batches, mesh)]
+        assert got == [float(i) for i in range(7)]
 
 
 class TestDistributedHelpers:
