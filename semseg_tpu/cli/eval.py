@@ -241,6 +241,13 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
         # (GSPMD conv halo exchange) — multi-chip single-image latency.
         from semseg_tpu.parallel.mesh import make_mesh
 
+        if batch > 1 or device_pyramid:
+            import logging
+
+            logging.getLogger("Logger").warning(
+                "--spatial is a single-image latency mode: "
+                "--batch/--device-pyramid are ignored"
+            )
         return [
             InferenceEngine(
                 model,
@@ -249,6 +256,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                 output_stride=output_stride_for(cfg),
                 bucket_step=eval_step,
                 exact=exact,
+                fetch_dtype=fetch_dtype,
                 spatial_mesh=make_mesh(spatial),
             )
         ]

@@ -149,9 +149,13 @@ class TrainDataset(BaseDataset):
         # jitted train step (parallel/train_step.py), mirroring the eval
         # engine's uint8 device-preprocessing design.
         self.raw_transport = raw_transport
-        self.bucket_step = max(bucket_step or 0, self.padding_constant)
+        # Round non-aligned steps up to the architecture lattice, exactly
+        # like the eval path (_effective_lattice) — crashing on e.g.
+        # bucket_step=48 with a padding_constant-32 config helps nobody.
+        self.bucket_step = _effective_lattice(
+            max(bucket_step or 0, self.padding_constant), self.padding_constant
+        )
         assert self.padding_constant >= self.segm_downsampling_rate
-        assert self.bucket_step % self.padding_constant == 0 or bucket_step is None
 
         self.rng = np.random.default_rng(seed)
         self._order = self.rng.permutation(self.num_sample)

@@ -60,11 +60,14 @@ class TrainLoader:
         # finalization would otherwise evaluate `queue.Empty` as None.
         empty = queue.Empty
         while True:
+            # Check BEFORE blocking on the queue: a dead worker's exception
+            # must surface even while surviving workers keep the queue fed
+            # (its seeded sample stream is gone — silent data loss).
+            if self._errors:
+                raise RuntimeError("TrainLoader worker failed") from self._errors[0]
             try:
                 yield self.queue.get(timeout=1.0)
             except empty:
-                if self._errors:
-                    raise RuntimeError("TrainLoader worker failed") from self._errors[0]
                 if not any(t.is_alive() for t in self._threads):
                     raise RuntimeError("All TrainLoader workers exited")
 
@@ -87,6 +90,7 @@ class EvalLoader:
         n = len(self.dataset)
         results: dict[int, dict] = {}
         errors: list = []
+        stop = threading.Event()
         lock = threading.Lock()
         cond = threading.Condition(lock)
         next_fetch = [0]
@@ -95,13 +99,13 @@ class EvalLoader:
             try:
                 while True:
                     with lock:
-                        if next_fetch[0] >= n or errors:
+                        if next_fetch[0] >= n or errors or stop.is_set():
                             return
                         # Backpressure: don't run more than `prefetch` ahead
                         # of the consumer.
                         while len(results) >= self.prefetch:
                             cond.wait(timeout=0.5)
-                            if next_fetch[0] >= n or errors:
+                            if next_fetch[0] >= n or errors or stop.is_set():
                                 return
                         idx = next_fetch[0]
                         next_fetch[0] += 1
@@ -121,12 +125,22 @@ class EvalLoader:
         for t in threads:
             t.start()
 
-        for i in range(n):
+        try:
+            for i in range(n):
+                with lock:
+                    while i not in results:
+                        if errors:
+                            raise RuntimeError(
+                                "EvalLoader worker failed"
+                            ) from errors[0]
+                        cond.wait(timeout=0.5)
+                    item = results.pop(i)
+                    cond.notify_all()
+                yield item
+        finally:
+            # Abandoned mid-stream (consumer exception / early exit): stop
+            # the workers, which would otherwise spin in their backpressure
+            # waits forever, pinning ~prefetch decoded pyramids.
+            stop.set()
             with lock:
-                while i not in results:
-                    if errors:
-                        raise RuntimeError("EvalLoader worker failed") from errors[0]
-                    cond.wait(timeout=0.5)
-                item = results.pop(i)
                 cond.notify_all()
-            yield item

@@ -38,8 +38,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x - 1) // m + 1) * m
+# The one lattice-rounding rule the dataset↔engine bucket alignment
+# depends on (data/transforms.py) — aliased, not re-derived.
+from semseg_tpu.data.transforms import round2nearest_multiple as _round_up  # noqa: E402
 
 
 def _resize_matrix(out_pad: int, in_pad: int, out_valid, in_valid):
@@ -251,11 +252,14 @@ class BatchedInferenceEngine(InferenceEngine):
     def _batched_raw_fn(self):
         from semseg_tpu.ops.preproc import normalize_u8_masked
 
-        @jax.jit
-        def run(variables, img_u8, hs, ws):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(variables, img_u8, hs, ws, to_fetch=False):
             x = normalize_u8_masked(img_u8, hs, ws)
             out = self.model.apply(variables, x, seg_size=None, train=False)
-            return out.astype(self.fetch_dtype)
+            # fetch_dtype narrows the device→host transfer; the on-device
+            # metric paths (to_fetch=False) never transfer logits, so they
+            # keep full precision instead of paying a pointless bf16 trip.
+            return out.astype(self.fetch_dtype) if to_fetch else out
 
         return run
 
@@ -352,8 +356,12 @@ class BatchedInferenceEngine(InferenceEngine):
                 ).append((i, arr, h, w))
         return groups
 
-    def _forward_host_chunk(self, key, padded_chunk):
-        """Forward one padded host-pyramid chunk; returns (logits, hw_list)."""
+    def _forward_host_chunk(self, key, padded_chunk, *, to_fetch=False):
+        """Forward one padded host-pyramid chunk; returns (logits, hw_list).
+
+        ``to_fetch``: the logits will cross the device→host link (host
+        post-processing) — narrow them to ``fetch_dtype`` on device.
+        """
         ph, pw = key
         batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
         hs = np.zeros(self.batch_size, np.int32)
@@ -363,7 +371,7 @@ class BatchedInferenceEngine(InferenceEngine):
             hs[j], ws[j] = h, w
         dev_logits = self._batched_raw_fn(
             self.variables, jnp.asarray(batch), jnp.asarray(hs),
-            jnp.asarray(ws),
+            jnp.asarray(ws), to_fetch,
         )
         return dev_logits, [(h, w) for (_, _, h, w) in padded_chunk]
 
@@ -554,17 +562,8 @@ class BatchedInferenceEngine(InferenceEngine):
                     # Pad the final chunk to the full batch so each bucket
                     # compiles exactly once; surplus outputs are dropped.
                     padded_chunk = chunk + [chunk[-1]] * (self.batch_size - bsz)
-                    batch = np.zeros(
-                        (self.batch_size, ph, pw, 3), np.uint8
-                    )
-                    hs = np.zeros(self.batch_size, np.int32)
-                    ws = np.zeros(self.batch_size, np.int32)
-                    for j, (_, arr, h, w) in enumerate(padded_chunk):
-                        batch[j, :h, :w] = arr[0]
-                        hs[j], ws[j] = h, w
-                    dev_logits = self._batched_raw_fn(
-                        self.variables, jnp.asarray(batch), jnp.asarray(hs),
-                        jnp.asarray(ws),
+                    dev_logits, _ = self._forward_host_chunk(
+                        (ph, pw), padded_chunk, to_fetch=True
                     )
                     for j in range(bsz):
                         item_idx, _, h, w = chunk[j]
@@ -628,7 +627,13 @@ class DevicePyramidEngine(BatchedInferenceEngine):
     def __init__(self, *args, img_sizes, img_max_size, ori_step: int = 64,
                  ori_canvas=(1088, 1600), upload_pipeline: bool = False, **kw):
         super().__init__(*args, **kw)
-        self.img_sizes = tuple(img_sizes)
+        # Scalar imgSizes (single-scale configs) are valid everywhere else
+        # in the pipeline (dataset.py handles both forms).
+        self.img_sizes = (
+            tuple(img_sizes)
+            if isinstance(img_sizes, (list, tuple))
+            else (img_sizes,)
+        )
         self.img_max_size = img_max_size
         self.ori_step = ori_step
         self.ori_canvas = tuple(ori_canvas)
@@ -680,8 +685,9 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 return jnp.where(mask[..., None], x, 0.0)
 
             x = jax.vmap(one)(canvases, ohs, ows, ths, tws)
-            out = self.model.apply(variables, x, seg_size=None, train=False)
-            return out.astype(self.fetch_dtype)
+            # Consumed only by the on-device accumulator — keep full
+            # precision (fetch_dtype is for logits that cross the link).
+            return self.model.apply(variables, x, seg_size=None, train=False)
 
         return run
 

@@ -252,3 +252,51 @@ class TestLoaderFailure:
 
         with pytest.raises(RuntimeError):
             list(EvalLoader(BadDataset(), num_workers=2, prefetch=2))
+
+    def test_train_loader_surfaces_error_despite_live_workers(self):
+        """A dead worker's exception must surface even while survivors keep
+        the queue fed (its seeded sample stream is silently gone)."""
+        import numpy as np
+
+        class Stream:
+            def __init__(self, boom):
+                self.boom = boom
+                self.n = 0
+
+            def next_batch(self):
+                self.n += 1
+                if self.boom and self.n > 1:
+                    raise RuntimeError("worker 1 died")
+                return {"x": np.zeros(1)}
+
+        loader = TrainLoader(
+            lambda seed: Stream(boom=(seed == 1)), num_workers=2, prefetch=2
+        )
+        with pytest.raises(RuntimeError):
+            for _ in range(200):  # healthy worker keeps feeding regardless
+                next(iter(loader))
+        loader.close()
+
+    def test_eval_loader_abandonment_stops_workers(self):
+        """Abandoning the iterator mid-stream must stop the worker threads
+        (they otherwise spin in their backpressure waits forever)."""
+        import time
+
+        fetched = []
+
+        class Slow:
+            def __len__(self):
+                return 1000
+
+            def __getitem__(self, i):
+                fetched.append(i)
+                return {"i": i}
+
+        it = iter(EvalLoader(Slow(), num_workers=2, prefetch=2))
+        next(it)
+        it.close()
+        time.sleep(0.8)  # > the workers' 0.5 s cond.wait
+        n = len(fetched)
+        time.sleep(0.6)
+        assert len(fetched) == n, "workers still fetching after close"
+        assert n < 1000
