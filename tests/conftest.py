@@ -34,6 +34,16 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute parity oracles (torch-CPU training / float64 "
+        "train-step drivers). The FULL suite is the release gate; "
+        '`-m "not slow"` is the fast development loop (~15 min on 1 core '
+        "vs ~50).",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

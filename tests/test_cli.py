@@ -63,6 +63,7 @@ COMMON = [
 ]
 
 
+@pytest.mark.slow
 def test_train_eval_test_cycle(mini, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt"))
     data_opts = [

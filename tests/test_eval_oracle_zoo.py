@@ -75,6 +75,7 @@ def _run_ours_exact(c):
     return evaluate(engines, loader, c, logger)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "enc_arch,dec_arch,fc_dim,rate,pad,img_sizes,n_eval", CASES,
     ids=[f"{e}-{d}" for e, d, *_ in CASES],

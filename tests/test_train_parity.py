@@ -26,6 +26,7 @@ from train_parity_driver import CASES
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "case_idx", range(len(CASES)), ids=[f"{c[0]}-{c[1]}" for c in CASES]
 )

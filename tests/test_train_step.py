@@ -147,6 +147,7 @@ class TestTrainStep:
                 np.asarray(a), np.asarray(b), atol=5e-3, rtol=0
             )
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, setup, rng):
         """DP over the 8-device mesh must equal single-device training."""
         c, model, state = setup
