@@ -42,6 +42,12 @@ MS_BUCKET = 32
 def build_model():
     from semseg_tpu.config import cfg
     from semseg_tpu.models import ModelBuilder, init_variables
+    from semseg_tpu.utils.compile_cache import enable_compile_cache
+
+    # Same persistent XLA cache the CLIs use: repeat bench runs deserialize
+    # the compiled programs (compile time is excluded from every timing loop
+    # anyway — each bench warms up before its timed passes).
+    enable_compile_cache()
 
     c = cfg.clone()
     c.MODEL.arch_encoder = "resnet50dilated"

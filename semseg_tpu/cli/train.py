@@ -36,6 +36,31 @@ from semseg_tpu.parallel import (
 from semseg_tpu.utils import AverageMeter, setup_logger
 
 
+def build_train_mesh(cfg, devices_arg: int = 0):
+    """The training device mesh from config: pure data-parallel, or — with
+    ``TPU.spatial > 1`` — a hybrid (data, spatial) mesh sharding each
+    image's height too (config/defaults.py TPU.spatial). One jitted step,
+    same numerics either way: GSPMD adds conv halo exchanges and spans the
+    gradient/BN reductions over both axes (tested hybrid == single-device,
+    tests/test_train_step.py)."""
+    from semseg_tpu.parallel import make_mesh_2d
+
+    if cfg.TPU.spatial <= 1:
+        return make_mesh(cfg.TPU.data_parallel or devices_arg or None)
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "TPU.spatial hybrid training is single-host; combine "
+            "--multihost with pure data parallelism instead"
+        )
+    total = cfg.TPU.data_parallel or devices_arg or len(jax.devices())
+    if total % cfg.TPU.spatial:
+        raise ValueError(
+            f"TPU.spatial={cfg.TPU.spatial} must divide the "
+            f"device count {total}"
+        )
+    return make_mesh_2d(total // cfg.TPU.spatial, cfg.TPU.spatial)
+
+
 def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logger):
     batch_time = AverageMeter()
     data_time = AverageMeter()
@@ -125,15 +150,21 @@ def main(argv=None):
 
     np.random.seed(cfg.TRAIN.seed)
 
-    mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
+    mesh = build_train_mesh(cfg, args.devices)
     n_dev = mesh.devices.size
-    global_batch = cfg.TRAIN.batch_size_per_gpu * n_dev
+    # batch_size_per_gpu is per data-parallel group (== per chip unless
+    # TPU.spatial spreads each image across several chips).
+    global_batch = cfg.TRAIN.batch_size_per_gpu * mesh.shape["data"]
     # Multi-host: each process materializes only its local slice; the
     # prefetcher assembles global sharded arrays.
     n_proc = jax.process_count()
     local_batch = global_batch // n_proc
+    spatial_note = (
+        f" ({mesh.shape['data']}-way data x {mesh.shape['spatial']}-way "
+        "spatial)" if "spatial" in mesh.axis_names else ""
+    )
     logger.info(
-        f"Mesh: {n_dev} device(s) / {n_proc} process(es); "
+        f"Mesh: {n_dev} device(s){spatial_note} / {n_proc} process(es); "
         f"global batch {global_batch}"
     )
 

@@ -101,6 +101,15 @@ _C.TPU = CfgNode()
 _C.TPU.compute_dtype = "bfloat16"
 # Data-parallel mesh size; 0 = use all visible devices.
 _C.TPU.data_parallel = 0
+# Hybrid (data x spatial) training mesh: shard each image's HEIGHT across
+# this many chips in addition to data parallelism (GSPMD inserts the conv
+# halo exchanges; gradient all-reduce and global BN statistics span both
+# axes). Devices used = data_groups x spatial; TRAIN.batch_size_per_gpu
+# becomes the per-DATA-GROUP batch, so the per-chip activation footprint
+# shrinks by ~spatial — the lever for very large inputs or batch-1 latency.
+# 1 = pure data parallelism. Single-host only (eval's counterpart is the
+# eval CLI's --spatial flag).
+_C.TPU.spatial = 1
 # TRAIN-time bucket lattice: device batches are zero-padded (ignore-labeled)
 # up to a multiple of this (>= padding_constant) to bound recompilations.
 # Measured over the real training.odgt (tools/compile_budget.py, 5000-iter

@@ -2,6 +2,7 @@ from .mesh import (
     batch_sharding,
     device_prefetch,
     make_mesh,
+    make_mesh_2d,
     replicate_state,
     replicated,
     shard_batch,
@@ -18,6 +19,7 @@ from .train_step import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "distributed",
     "device_prefetch",
     "batch_sharding",

@@ -44,8 +44,16 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim across the ``data`` axis."""
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) dim across the ``data`` axis.
+
+    On a hybrid (data, spatial) mesh, image-like arrays (``ndim >= 3``:
+    NHWC images, (N, h, w) label maps) additionally shard dim 1 — the
+    height — across ``spatial``; per-image metadata like (N, 2) valid-size
+    vectors stays data-sharded only.
+    """
+    if "spatial" in mesh.axis_names and ndim >= 3:
+        return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
 
 
@@ -54,9 +62,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the batch dim sharded over the mesh."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a host batch with the batch dim sharded over the mesh
+    (and image heights over ``spatial``, if the mesh has that axis)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
 
 
 def replicate_state(mesh: Mesh, tree):

@@ -111,3 +111,45 @@ def test_train_eval_test_cycle(mini, tmp_path_factory):
     )
     assert "Inference done!" in out
     assert os.path.exists(os.path.join(result_dir, "0.png"))
+
+
+def test_build_train_mesh_selection():
+    """Mesh-selection logic behind the TPU.spatial knob (fast, no compile)."""
+    from semseg_tpu.cli.train import build_train_mesh
+    from semseg_tpu.config import cfg
+
+    c = cfg.clone()
+    c.TPU.data_parallel = 4
+    assert dict(build_train_mesh(c).shape) == {"data": 4}
+
+    c.TPU.spatial = 2
+    mesh = build_train_mesh(c)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2}
+
+    c.TPU.data_parallel = 0
+    mesh = build_train_mesh(c, devices_arg=4)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2}
+
+    c.TPU.spatial = 3
+    c.TPU.data_parallel = 4
+    with pytest.raises(ValueError, match="must divide"):
+        build_train_mesh(c)
+
+
+@pytest.mark.slow
+def test_train_hybrid_spatial_mesh(mini, tmp_path_factory):
+    """End-to-end train CLI over a 2-way-data x 2-way-spatial mesh."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_spatial"))
+    out = run_cli(
+        "train.py", *COMMON,
+        "DIR", ckpt,
+        "DATASET.root_dataset", str(mini),
+        "DATASET.list_train", str(mini / "train.odgt"),
+        "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "2",
+        "TRAIN.disp_iter", "1", "TRAIN.batch_size_per_gpu", "1",
+        "TRAIN.workers", "1",
+        "TPU.spatial", "2",
+    )
+    assert "2-way data x 2-way spatial" in out
+    assert "Training Done!" in out
+    assert os.path.isdir(os.path.join(ckpt, "epoch_1"))

@@ -177,6 +177,62 @@ class TestTrainStep:
             l2.append(float(m2["loss"]))
         np.testing.assert_allclose(l1, l2, rtol=5e-3)
 
+    def test_hybrid_batch_sharding_specs(self):
+        """On a (data, spatial) mesh, images/labels shard H over 'spatial';
+        per-image metadata stays data-sharded (train CLI TPU.spatial)."""
+        from jax.sharding import PartitionSpec as P
+
+        from semseg_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(2, 2)
+        rng = np.random.RandomState(0)
+        sharded = shard_batch(mesh, {
+            "img_data": rng.randint(0, 255, (4, 64, 64, 3)).astype(np.uint8),
+            "seg_label": rng.randint(-1, 150, (4, 8, 8)).astype(np.int32),
+            "img_valid_hw": np.full((4, 2), 64, np.int32),
+        })
+        assert sharded["img_data"].sharding.spec == P("data", "spatial")
+        assert sharded["seg_label"].sharding.spec == P("data", "spatial")
+        assert sharded["img_valid_hw"].sharding.spec == P("data")
+
+    @pytest.mark.slow
+    def test_hybrid_mesh_matches_single_device(self, setup, rng):
+        """One step on a 2-way-data x 2-way-spatial mesh (image height
+        sharded: GSPMD conv halo exchanges + gradient/BN reductions over
+        BOTH axes) must equal single-device training — the numerics behind
+        the train CLI's TPU.spatial knob."""
+        from semseg_tpu.parallel import make_mesh_2d
+
+        c, model, state = setup
+        batch = make_batch(rng, n=4)
+        key = jax.random.PRNGKey(2)
+
+        step = jax.jit(train_step)
+        mesh = make_mesh_2d(2, 2)
+
+        s1, m1 = step(state, batch, key)
+        s2, m2 = step(
+            replicate_state(mesh, state), shard_batch(mesh, batch), key
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(m1["acc"]), float(m2["acc"]), rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=0
+            )
+        for a, b in zip(
+            jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=0
+            )
+
 
 class TestOptimizerSemantics:
     def test_poly_schedule(self):
