@@ -39,7 +39,13 @@ def main():
     ap.add_argument("--arch", default="resnet50dilated")
     ap.add_argument("--decoder", default="ppm_deepsup")
     ap.add_argument("--fc-dim", type=int, default=2048)
+    ap.add_argument("--segm-ds", type=int, default=0,
+                    help="label downsampling rate (0 = infer: 8 for dilated "
+                         "output-stride-8 encoders, 4 for stride-4 "
+                         "hrnet/upernet configs — the reference yamls' "
+                         "segm_downsampling_rate)")
     args = ap.parse_args()
+    segm_ds = args.segm_ds or (8 if "dilated" in args.arch else 4)
 
     from semseg_tpu.config import cfg
     from semseg_tpu.models import ModelBuilder, init_variables
@@ -56,6 +62,7 @@ def main():
             c.MODEL.arch_encoder = args.arch
             c.MODEL.arch_decoder = args.decoder
             c.MODEL.fc_dim = args.fc_dim
+            c.DATASET.segm_downsampling_rate = segm_ds
             c.TPU.remat = remat
             c.TPU.compute_dtype = "bfloat16"
 
