@@ -163,9 +163,13 @@ def main(argv=None):
         f" ({mesh.shape['data']}-way data x {mesh.shape['spatial']}-way "
         "spatial)" if "spatial" in mesh.axis_names else ""
     )
+    accum_note = (
+        f" x {cfg.TPU.grad_accum} grad-accum microbatches"
+        if cfg.TPU.grad_accum > 1 else ""
+    )
     logger.info(
         f"Mesh: {n_dev} device(s){spatial_note} / {n_proc} process(es); "
-        f"global batch {global_batch}"
+        f"global batch {global_batch}{accum_note}"
     )
 
     dtype = jnp.dtype(cfg.TPU.compute_dtype)
@@ -193,7 +197,7 @@ def main(argv=None):
             cfg.DATASET.root_dataset,
             cfg.DATASET.list_train,
             cfg.DATASET,
-            batch_per_gpu=local_batch,
+            batch_per_gpu=local_batch * cfg.TPU.grad_accum,
             seed=cfg.TRAIN.seed * 1000
             + jax.process_index() * 97
             + worker_seed,
@@ -220,7 +224,7 @@ def main(argv=None):
         )
     else:
         loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
-    step_fn = jitted_train_step()
+    step_fn = jitted_train_step(cfg.TPU.grad_accum)
 
     if args.profile:
         # Tracing/observability (reference has only wall-clock meters,

@@ -139,6 +139,14 @@ _C.TPU.device_preproc = True
 # Rematerialize encoder blocks in the backward pass (jax.checkpoint):
 # trades ~30% step FLOPs for activation memory, enabling larger batches.
 _C.TPU.remat = False
+# Gradient accumulation: each optimizer step averages gradients over this
+# many sequential microbatches (lax.scan inside the one jitted step), so the
+# effective batch is batch_size_per_gpu x data_devices x grad_accum while
+# activation memory stays at one microbatch — the other lever (besides
+# remat) for larger-than-HBM batches, with no recompute FLOPs. Torch-loop
+# semantics: per-microbatch BN batch statistics, sequential running-stat
+# updates. 1 = off.
+_C.TPU.grad_accum = 1
 # Persistent XLA compilation cache shared across processes. The bucket
 # lattices cost a 30-55 min one-time compile per fresh process without it
 # (PERF_NOTES "compile budget"); with it, every later run deserializes the

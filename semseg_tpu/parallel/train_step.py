@@ -98,22 +98,20 @@ def _normalize_raw(img_u8, valid_hw):
     return normalize_u8_masked(img_u8, valid_hw[:, 0], valid_hw[:, 1])
 
 
-def train_step(state: TrainState, batch, rng):
-    """One SGD step. jit with ``donate_argnums=(0,)``.
+def _microbatch_grads(state, batch, stats, dropout_rng):
+    """(loss, acc, mutated_stats, grads) for one (micro)batch.
 
-    ``batch``: {'img_data': (N,H,W,3) f32, 'seg_label': (N,h,w) i32} — or,
-    with raw transport, img_data uint8 plus 'img_valid_hw' (N,2) i32;
-    normalization then runs on device (see ``_normalize_raw``).
-    Returns (new_state, {'loss', 'acc'}).
+    Training-mode BN normalizes with THIS batch's statistics (the running
+    stats only receive the EMA update), so gradients depend on ``stats``
+    solely through that update — exactly the reference's SyncBN semantics.
     """
-    dropout_rng = jax.random.fold_in(rng, state.step)
     img = batch["img_data"]
     if img.dtype == jnp.uint8:
         img = _normalize_raw(img, batch["img_valid_hw"])
 
     def loss_fn(params):
         (loss, acc), mutated = state.model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": stats},
             img,
             seg_label=batch["seg_label"],
             train=True,
@@ -125,6 +123,61 @@ def train_step(state: TrainState, batch, rng):
     (loss, (acc, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )
+    return loss, acc, new_stats, grads
+
+
+def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
+    """One SGD step. jit with ``donate_argnums=(0,)``.
+
+    ``batch``: {'img_data': (N,H,W,3) f32, 'seg_label': (N,h,w) i32} — or,
+    with raw transport, img_data uint8 plus 'img_valid_hw' (N,2) i32;
+    normalization then runs on device (see ``_normalize_raw``).
+
+    ``grad_accum`` (static) > 1 splits the batch into that many leading-dim
+    microbatches inside the jit (``lax.scan``): gradients are averaged into
+    ONE optimizer update while activation memory stays at one microbatch —
+    effective batches beyond HBM without rematerialization (config
+    ``TPU.grad_accum``). Same semantics as a torch accumulation loop: each
+    microbatch normalizes with its own BN batch statistics and the running
+    stats advance sequentially. Returns (new_state, {'loss', 'acc'}).
+    """
+    dropout_rng = jax.random.fold_in(rng, state.step)
+
+    if grad_accum == 1:
+        loss, acc, new_stats, grads = _microbatch_grads(
+            state, batch, state.batch_stats, dropout_rng
+        )
+    else:
+        n = batch["img_data"].shape[0]
+        assert n % grad_accum == 0, (n, grad_accum)
+        mb = n // grad_accum
+
+        def body(carry, i):
+            stats, grad_sum, loss_sum, acc_sum = carry
+            micro = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, 0),
+                batch,
+            )
+            loss, acc, stats, grads = _microbatch_grads(
+                state, micro, stats, jax.random.fold_in(dropout_rng, i)
+            )
+            return (
+                stats,
+                jax.tree.map(jnp.add, grad_sum, grads),
+                loss_sum + loss,
+                acc_sum + acc,
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, grad_sum, loss_sum, acc_sum), _ = jax.lax.scan(
+            body,
+            (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(())),
+            jnp.arange(grad_accum),
+        )
+        grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+        loss = loss_sum / grad_accum
+        acc = acc_sum / grad_accum
+
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(
@@ -136,8 +189,13 @@ def train_step(state: TrainState, batch, rng):
     return new_state, {"loss": loss, "acc": acc}
 
 
-def jitted_train_step():
-    return jax.jit(train_step, donate_argnums=(0,))
+def jitted_train_step(grad_accum: int = 1):
+    import functools
+
+    return jax.jit(
+        functools.partial(train_step, grad_accum=grad_accum),
+        donate_argnums=(0,),
+    )
 
 
 def current_lrs(cfg, step):

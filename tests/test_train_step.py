@@ -234,6 +234,95 @@ class TestTrainStep:
             )
 
 
+class TestGradAccum:
+    def test_accum_matches_manual_microbatch_loop(self, setup, rng):
+        """TPU.grad_accum's lax.scan must equal the documented torch-style
+        accumulation loop: per-microbatch grads with evolving BN stats,
+        averaged into one optimizer update."""
+        import functools
+
+        import optax
+
+        from semseg_tpu.parallel.train_step import _microbatch_grads
+
+        c, model, state = setup
+        batch = make_batch(rng, n=4)
+        key = jax.random.PRNGKey(3)
+        K = 2
+
+        s_acc, m_acc = jax.jit(
+            functools.partial(train_step, grad_accum=K), donate_argnums=()
+        )(state, batch, key)
+
+        dropout_rng = jax.random.fold_in(key, state.step)
+        stats = state.batch_stats
+        grad_sum, loss_sum, acc_sum = None, 0.0, 0.0
+        micro_fn = jax.jit(_microbatch_grads)
+        mb = 4 // K
+        for i in range(K):
+            micro = {k: v[i * mb : (i + 1) * mb] for k, v in batch.items()}
+            loss, acc, stats, grads = micro_fn(
+                state, micro, stats, jax.random.fold_in(dropout_rng, i)
+            )
+            loss_sum += float(loss)
+            acc_sum += float(acc)
+            grad_sum = (
+                grads
+                if grad_sum is None
+                else jax.tree.map(jnp.add, grad_sum, grads)
+            )
+        avg = jax.tree.map(lambda g: g / K, grad_sum)
+        updates, _ = state.tx.update(avg, state.opt_state, state.params)
+        ref_params = optax.apply_updates(state.params, updates)
+
+        np.testing.assert_allclose(
+            float(m_acc["loss"]), loss_sum / K, rtol=1e-6
+        )
+        np.testing.assert_allclose(float(m_acc["acc"]), acc_sum / K, rtol=1e-6)
+        # scan vs unrolled loop: same math, slightly different XLA
+        # fusions -> few-ULP noise
+        for a, b in zip(
+            jax.tree.leaves(s_acc.params), jax.tree.leaves(ref_params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-6, rtol=0
+            )
+        for a, b in zip(
+            jax.tree.leaves(s_acc.batch_stats), jax.tree.leaves(stats)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=0
+            )
+
+    def test_accum_equals_full_batch_when_bn_frozen(self, rng):
+        """With frozen BN (fix_bn), no dropout (c1 decoder), and equal
+        valid-pixel counts per microbatch, accumulation is mathematically
+        identical to one full-batch step."""
+        import functools
+
+        c = small_cfg()
+        c.MODEL.arch_decoder = "c1"
+        c.TRAIN.fix_bn = True
+        model = ModelBuilder.build_model(c, dtype=jnp.float32)
+        variables = init_variables(model, seed=0)
+        state = create_train_state(c, model, variables)
+        batch = make_batch(rng, n=4)
+        batch["seg_label"] = np.abs(batch["seg_label"])  # all pixels valid
+        key = jax.random.PRNGKey(4)
+
+        s1, m1 = jax.jit(train_step, donate_argnums=())(state, batch, key)
+        s2, m2 = jax.jit(
+            functools.partial(train_step, grad_accum=2), donate_argnums=()
+        )(state, batch, key)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=0
+            )
+
+
 class TestOptimizerSemantics:
     def test_poly_schedule(self):
         sched = poly_schedule(0.02, 100, 0.9)
