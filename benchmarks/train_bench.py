@@ -36,6 +36,11 @@ def main():
                     help="train batch H W (bucket-64 lattice)")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 4, 8, 16])
+    ap.add_argument("--grad-accum", type=int, nargs="+", default=[1],
+                    help="TPU.grad_accum values; --batches stays the TOTAL "
+                         "images per optimizer step (microbatch = batch/K)")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="skip the remat=True sweep")
     ap.add_argument("--arch", default="resnet50dilated")
     ap.add_argument("--decoder", default="ppm_deepsup")
     ap.add_argument("--fc-dim", type=int, default=2048)
@@ -56,8 +61,11 @@ def main():
 
     h, w = args.shape
     results = []
-    for remat in (False, True):
-        for batch in args.batches:
+    for remat in ((False,) if args.no_remat else (False, True)):
+        for batch, accum in (
+            (b, k) for b in args.batches for k in args.grad_accum
+            if b % k == 0
+        ):
             c = cfg.clone()
             c.MODEL.arch_encoder = args.arch
             c.MODEL.arch_decoder = args.decoder
@@ -69,7 +77,7 @@ def main():
             model = ModelBuilder.build_model(c, dtype=jnp.bfloat16)
             variables = init_variables(model, seed=0, image_size=(64, 64))
             state = create_train_state(c, model, variables)
-            step_fn = jitted_train_step()
+            step_fn = jitted_train_step(accum)
 
             rng = np.random.RandomState(0)
             ds = c.DATASET.segm_downsampling_rate
@@ -79,6 +87,12 @@ def main():
             )
             key = jax.random.PRNGKey(0)
             batch_d = {"img_data": img, "seg_label": lab}
+            if accum > 1:
+                from semseg_tpu.parallel.train_step import stack_microbatches
+
+                batch_d = jax.tree.map(
+                    jnp.asarray, stack_microbatches(batch_d, accum)
+                )
 
             try:
                 # AOT-compile once; cost_analysis gives the exact FLOPs of
@@ -115,6 +129,7 @@ def main():
                 rec = {
                     "batch": batch,
                     "remat": remat,
+                    "grad_accum": accum,
                     "shape": [h, w],
                     "img_per_s": round(img_s, 1),
                     "step_s": round(best / args.steps, 4),
@@ -125,6 +140,7 @@ def main():
                 rec = {
                     "batch": batch,
                     "remat": remat,
+                    "grad_accum": accum,
                     "shape": [h, w],
                     "error": f"{type(e).__name__}: {str(e)[:200]}",
                 }

@@ -32,6 +32,7 @@ from semseg_tpu.parallel import (
     jitted_train_step,
     make_mesh,
     replicate_state,
+    shard_batch,
 )
 from semseg_tpu.utils import AverageMeter, setup_logger
 
@@ -215,15 +216,31 @@ def main(argv=None):
     # process-local shards (no cross-host device op). Device collectives
     # must launch in the same order on every process — they all live inside
     # the jitted step, which only the main thread dispatches.
+    # Grad accumulation: reshape loader batches (K*N, ...) -> (K, N, ...)
+    # host-side; the K axis ships replicated while N stays sharded, so the
+    # in-step accumulation scan slices microbatches without collectives
+    # (see train_step / batch_sharding).
+    accum = cfg.TPU.grad_accum
+    if accum > 1:
+        from semseg_tpu.parallel.train_step import stack_microbatches
+
+        batch_iter = (stack_microbatches(b, accum) for b in iter(loader))
+    else:
+        batch_iter = iter(loader)
     if n_proc > 1:
         from semseg_tpu.parallel.distributed import shard_local_batch
 
         loader_iter = device_prefetch(
-            iter(loader), mesh, depth=cfg.TPU.prefetch,
-            put=lambda local: shard_local_batch(mesh, local),
+            batch_iter, mesh, depth=cfg.TPU.prefetch,
+            put=lambda local: shard_local_batch(
+                mesh, local, microbatched=accum > 1
+            ),
         )
     else:
-        loader_iter = device_prefetch(iter(loader), mesh, depth=cfg.TPU.prefetch)
+        loader_iter = device_prefetch(
+            batch_iter, mesh, depth=cfg.TPU.prefetch,
+            put=lambda b: shard_batch(mesh, b, microbatched=accum > 1),
+        )
     step_fn = jitted_train_step(cfg.TPU.grad_accum)
 
     if args.profile:

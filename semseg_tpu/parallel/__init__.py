@@ -14,6 +14,7 @@ from .train_step import (
     current_lrs,
     jitted_train_step,
     make_optimizer,
+    stack_microbatches,
     train_step,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "create_train_state",
     "train_step",
     "jitted_train_step",
+    "stack_microbatches",
     "make_optimizer",
     "current_lrs",
 ]

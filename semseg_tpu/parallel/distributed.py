@@ -176,7 +176,7 @@ def _exchange_dims(dims: np.ndarray) -> np.ndarray:
     return np.stack(rows).max(axis=0)
 
 
-def _sync_batch_canvas(local_batch: dict) -> dict:
+def _sync_batch_canvas(local_batch: dict, microbatched: bool = False) -> dict:
     """Pad each process's batch to the cross-process maximum (H, W).
 
     The per-host TrainDataset streams are independent (different records,
@@ -189,10 +189,14 @@ def _sync_batch_canvas(local_batch: dict) -> dict:
     shared bucket lattice, so the jit shape set does not grow beyond it.
     """
     # Only spatial arrays (N, H, W, ...) need a canvas; per-image metadata
-    # like img_valid_hw (N, 2) already has a process-invariant shape.
-    keys = sorted(k for k, v in local_batch.items() if v.ndim >= 3)
+    # like img_valid_hw (N, 2) already has a process-invariant shape. With
+    # a leading grad-accum axis (K, N, H, W, ...) the spatial dims shift
+    # right by one.
+    lead = 2 if microbatched else 1
+    keys = sorted(k for k, v in local_batch.items() if v.ndim >= lead + 2)
     dims = np.asarray(
-        [d for k in keys for d in local_batch[k].shape[1:3]], np.int32
+        [d for k in keys for d in local_batch[k].shape[lead : lead + 2]],
+        np.int32,
     )
     global_dims = _exchange_dims(dims)
 
@@ -200,30 +204,36 @@ def _sync_batch_canvas(local_batch: dict) -> dict:
     for i, k in enumerate(keys):
         x = np.asarray(local_batch[k])
         gh, gw = int(global_dims[2 * i]), int(global_dims[2 * i + 1])
-        if (gh, gw) != x.shape[1:3]:
-            pad = [(0, 0), (0, gh - x.shape[1]), (0, gw - x.shape[2])]
-            pad += [(0, 0)] * (x.ndim - 3)
+        if (gh, gw) != x.shape[lead : lead + 2]:
+            pad = [(0, 0)] * lead
+            pad += [(0, gh - x.shape[lead]), (0, gw - x.shape[lead + 1])]
+            pad += [(0, 0)] * (x.ndim - lead - 2)
             x = np.pad(x, pad, constant_values=_PAD_VALUE.get(k, 0))
         out[k] = x
     return out
 
 
-def shard_local_batch(mesh: Mesh, local_batch: dict) -> dict:
+def shard_local_batch(mesh: Mesh, local_batch: dict, microbatched: bool = False) -> dict:
     """Assemble a global sharded array from per-process local batches.
 
     Each process passes only its local slice; the result is a global
     jax.Array sharded over the mesh's ``data`` axis. Per-process batches may
     differ in (H, W): they are first padded to the cross-process canvas
-    (see ``_sync_batch_canvas``).
+    (see ``_sync_batch_canvas``). ``microbatched``: arrays carry a leading
+    grad-accum axis (K, N, ...) — K replicated, N sharded (the batch dim
+    moves to 1).
     """
     if jax.process_count() > 1:
-        local_batch = _sync_batch_canvas(local_batch)
-    sharding = NamedSharding(mesh, P("data"))
+        local_batch = _sync_batch_canvas(local_batch, microbatched)
+    spec = P(None, "data") if microbatched else P("data")
+    sharding = NamedSharding(mesh, spec)
+    bdim = 1 if microbatched else 0
 
     def put(x):
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = list(x.shape)
+        global_shape[bdim] *= jax.process_count()
         return jax.make_array_from_process_local_data(
-            sharding, np.asarray(x), global_shape
+            sharding, np.asarray(x), tuple(global_shape)
         )
 
     return jax.tree.map(put, local_batch)

@@ -44,14 +44,25 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+def batch_sharding(mesh: Mesh, ndim: int = 1, microbatched: bool = False) -> NamedSharding:
     """Shard the leading (batch) dim across the ``data`` axis.
 
     On a hybrid (data, spatial) mesh, image-like arrays (``ndim >= 3``:
     NHWC images, (N, h, w) label maps) additionally shard dim 1 — the
     height — across ``spatial``; per-image metadata like (N, 2) valid-size
     vectors stays data-sharded only.
+
+    ``microbatched``: the array carries a leading gradient-accumulation
+    axis (K, N, ...) — K stays REPLICATED and the batch rule applies from
+    dim 1. This keeps every microbatch evenly spread over the mesh, so the
+    accumulation ``lax.scan`` slices axis 0 locally; sharding (K*N, ...)
+    flat and slicing it would make GSPMD all-gather the whole batch to
+    every device (measured), destroying exactly the memory grad-accum is
+    meant to save.
     """
+    if microbatched:
+        inner = batch_sharding(mesh, ndim - 1).spec
+        return NamedSharding(mesh, P(None, *inner))
     if "spatial" in mesh.axis_names and ndim >= 3:
         return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
@@ -61,11 +72,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, microbatched: bool = False) -> dict:
     """Device-put a host batch with the batch dim sharded over the mesh
-    (and image heights over ``spatial``, if the mesh has that axis)."""
+    (and image heights over ``spatial``, if the mesh has that axis).
+    ``microbatched``: every array has a leading grad-accum axis, kept
+    replicated (see ``batch_sharding``)."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, np.ndim(x), microbatched)
+        ),
+        batch,
     )
 
 

@@ -133,13 +133,19 @@ def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
     with raw transport, img_data uint8 plus 'img_valid_hw' (N,2) i32;
     normalization then runs on device (see ``_normalize_raw``).
 
-    ``grad_accum`` (static) > 1 splits the batch into that many leading-dim
-    microbatches inside the jit (``lax.scan``): gradients are averaged into
-    ONE optimizer update while activation memory stays at one microbatch —
+    ``grad_accum`` (static) > 1 runs that many sequential microbatches
+    inside the jit (``lax.scan``): gradients are averaged into ONE
+    optimizer update while activation memory stays at one microbatch —
     effective batches beyond HBM without rematerialization (config
-    ``TPU.grad_accum``). Same semantics as a torch accumulation loop: each
-    microbatch normalizes with its own BN batch statistics and the running
-    stats advance sequentially. Returns (new_state, {'loss', 'acc'}).
+    ``TPU.grad_accum``). The batch must then carry a leading microbatch
+    axis — (K, N, H, W, 3) etc., built by ``stack_microbatches`` — which
+    stays REPLICATED under data parallelism while N is sharded, so the
+    scan slices axis 0 locally (slicing a flat sharded (K*N, ...) batch
+    makes GSPMD all-gather it whole to every device — measured, see
+    ``batch_sharding``). Same semantics as a torch accumulation loop:
+    each microbatch normalizes with its own BN batch statistics and the
+    running stats advance sequentially.
+    Returns (new_state, {'loss', 'acc'}).
     """
     dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -148,16 +154,15 @@ def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
             state, batch, state.batch_stats, dropout_rng
         )
     else:
-        n = batch["img_data"].shape[0]
-        assert n % grad_accum == 0, (n, grad_accum)
-        mb = n // grad_accum
+        assert batch["img_data"].shape[0] == grad_accum, (
+            f"grad_accum={grad_accum} expects batches with a leading "
+            f"microbatch axis (stack_microbatches); got leading dim "
+            f"{batch['img_data'].shape[0]}"
+        )
 
-        def body(carry, i):
+        def body(carry, xs):
+            micro, i = xs
             stats, grad_sum, loss_sum, acc_sum = carry
-            micro = jax.tree.map(
-                lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb, 0),
-                batch,
-            )
             loss, acc, stats, grads = _microbatch_grads(
                 state, micro, stats, jax.random.fold_in(dropout_rng, i)
             )
@@ -172,7 +177,7 @@ def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
         (new_stats, grad_sum, loss_sum, acc_sum), _ = jax.lax.scan(
             body,
             (state.batch_stats, zeros, jnp.zeros(()), jnp.zeros(())),
-            jnp.arange(grad_accum),
+            (batch, jnp.arange(grad_accum)),
         )
         grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
         loss = loss_sum / grad_accum
@@ -187,6 +192,23 @@ def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
         opt_state=new_opt_state,
     )
     return new_state, {"loss": loss, "acc": acc}
+
+
+def stack_microbatches(batch: dict, grad_accum: int) -> dict:
+    """Host-side (K*N, ...) → (K, N, ...) reshape for ``TPU.grad_accum``.
+
+    Microbatch i is rows [i*N, (i+1)*N) of the loader batch — the same
+    composition a torch accumulation loop consuming the stream would see.
+    The leading K axis stays replicated when sharded (``batch_sharding``).
+    """
+    import numpy as np
+
+    def split(x):
+        n = x.shape[0]
+        assert n % grad_accum == 0, (n, grad_accum)
+        return np.reshape(x, (grad_accum, n // grad_accum) + x.shape[1:])
+
+    return {k: split(np.asarray(v)) for k, v in batch.items()}
 
 
 def jitted_train_step(grad_accum: int = 1):

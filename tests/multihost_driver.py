@@ -78,6 +78,26 @@ def main(out_dir):
         assert int(n_ignore) == 2  # process 0's padded label rows
         assert int(s_lab) == 2 * 2 * 1 - 2  # pid1 ones minus the pad -1s
 
+    # Microbatched (grad-accum) assembly: leading K axis replicated, batch
+    # dim 1 sharded, canvas sync on dims [2:4] — the train CLI's multi-host
+    # branch with TPU.grad_accum > 1.
+    from jax.sharding import PartitionSpec as P
+
+    from semseg_tpu.parallel.train_step import stack_microbatches
+
+    local = {
+        "img_data": np.full((4, 8 + 2 * pid, 8, 3), pid + 1, np.float32),
+        "seg_label": np.full((4, 2, 2), pid, np.int32),
+    }
+    g = distributed.shard_local_batch(
+        mesh, stack_microbatches(local, 2), microbatched=True
+    )
+    assert g["img_data"].shape == (2, 4, 10, 8, 3), g["img_data"].shape
+    assert g["seg_label"].shape == (2, 4, 2, 2)
+    assert g["img_data"].sharding.spec == P(None, "data")
+    s = float(jax.jit(lambda b: b["img_data"].sum())(g))
+    np.testing.assert_allclose(s, 1 * 4 * 8 * 8 * 3 + 2 * 4 * 10 * 8 * 3)
+
     # Primary-only checkpointing + barrier (cli/train.py:187-189 semantics).
     marker = os.path.join(out_dir, "ckpt_marker")
     if distributed.is_primary():

@@ -243,7 +243,10 @@ class TestGradAccum:
 
         import optax
 
-        from semseg_tpu.parallel.train_step import _microbatch_grads
+        from semseg_tpu.parallel.train_step import (
+            _microbatch_grads,
+            stack_microbatches,
+        )
 
         c, model, state = setup
         batch = make_batch(rng, n=4)
@@ -252,7 +255,7 @@ class TestGradAccum:
 
         s_acc, m_acc = jax.jit(
             functools.partial(train_step, grad_accum=K), donate_argnums=()
-        )(state, batch, key)
+        )(state, stack_microbatches(batch, K), key)
 
         dropout_rng = jax.random.fold_in(key, state.step)
         stats = state.batch_stats
@@ -300,6 +303,8 @@ class TestGradAccum:
         identical to one full-batch step."""
         import functools
 
+        from semseg_tpu.parallel.train_step import stack_microbatches
+
         c = small_cfg()
         c.MODEL.arch_decoder = "c1"
         c.TRAIN.fix_bn = True
@@ -313,13 +318,60 @@ class TestGradAccum:
         s1, m1 = jax.jit(train_step, donate_argnums=())(state, batch, key)
         s2, m2 = jax.jit(
             functools.partial(train_step, grad_accum=2), donate_argnums=()
-        )(state, batch, key)
+        )(state, stack_microbatches(batch, 2), key)
         np.testing.assert_allclose(
             float(m1["loss"]), float(m2["loss"]), rtol=1e-5
         )
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=0
+            )
+
+    def test_sharded_accum_is_local_and_matches_single_device(self, setup, rng):
+        """Under data parallelism the microbatch scan must slice locally:
+        the compiled step contains NO all-gather of the image batch (the K
+        axis ships replicated, N sharded — batch_sharding), and the
+        numerics equal the single-device step."""
+        import functools
+        import re
+
+        from semseg_tpu.parallel.train_step import stack_microbatches
+
+        c, model, state = setup
+        batch = stack_microbatches(make_batch(rng, n=8), 2)
+        key = jax.random.PRNGKey(5)
+        mesh = make_mesh(4)
+
+        step = jax.jit(
+            functools.partial(train_step, grad_accum=2), donate_argnums=()
+        )
+        sb = shard_batch(mesh, batch, microbatched=True)
+        assert sb["img_data"].sharding.spec == jax.sharding.PartitionSpec(
+            None, "data"
+        )
+        hlo = step.lower(
+            replicate_state(mesh, state), sb, key
+        ).compile().as_text()
+        # grads/BN reductions may legitimately gather small per-channel
+        # vectors; a batch-sized image/label gather (>=100k elements) is
+        # the regression this guards against.
+        big = []
+        for line in hlo.splitlines():
+            m = re.search(r"=\s+\w+\[([\d,]+)\][^=]*all-gather\(", line)
+            if m:
+                elems = int(np.prod([int(d) for d in m.group(1).split(",")]))
+                if elems >= 100_000:
+                    big.append(line.strip()[:120])
+        assert not big, big[:3]
+
+        s1, m1 = step(state, batch, key)
+        s2, m2 = step(replicate_state(mesh, state), sb, key)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=0
             )
 
 
