@@ -106,6 +106,13 @@ def main():
                     ca = cost[0] if isinstance(cost, (list, tuple)) else cost
                     if ca:
                         flops = ca.get("flops")
+                        # cost_analysis counts a lax.scan body ONCE, not
+                        # x trip-count (measured: reported flops halve at
+                        # grad_accum=2). The non-scanned epilogue (optimizer
+                        # update) is orders of magnitude below the conv
+                        # flops, so scaling by K is accurate to ~1%.
+                        if flops and accum > 1:
+                            flops *= accum
                 except Exception:
                     flops = None
                 step_fn = compiled
