@@ -374,6 +374,44 @@ class TestGradAccum:
                 np.asarray(a), np.asarray(b), atol=1e-3, rtol=0
             )
 
+    @pytest.mark.slow
+    def test_accum_on_hybrid_mesh_matches_single_device(self, setup, rng):
+        """grad-accum scan x hybrid (data, spatial) mesh: microbatched
+        images shard P(None, data, spatial) — halo exchanges inside each
+        scan iteration — and must equal the single-device step."""
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from semseg_tpu.parallel import make_mesh_2d
+        from semseg_tpu.parallel.train_step import stack_microbatches
+
+        c, model, state = setup
+        batch = stack_microbatches(make_batch(rng, n=4), 2)
+        key = jax.random.PRNGKey(6)
+        mesh = make_mesh_2d(2, 2)
+
+        step = jax.jit(
+            functools.partial(train_step, grad_accum=2), donate_argnums=()
+        )
+        sb = shard_batch(mesh, batch, microbatched=True)
+        assert sb["img_data"].sharding.spec == P(None, "data", "spatial")
+        assert sb["seg_label"].sharding.spec == P(None, "data", "spatial")
+
+        s1, m1 = step(state, batch, key)
+        s2, m2 = step(replicate_state(mesh, state), sb, key)
+        # two scanned microbatches of cross-axis reductions: slightly more
+        # reduction-order noise than the plain hybrid test, amplified
+        # through random-init BN gradients (cf. the uint8-transport test's
+        # tolerance note)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-3, rtol=0
+            )
+
 
 class TestOptimizerSemantics:
     def test_poly_schedule(self):
