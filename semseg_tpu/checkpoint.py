@@ -64,6 +64,72 @@ def save_train_state(ckpt_dir: str, epoch: int, state, history: Optional[dict] =
             json.dump(history, f)
 
 
+class AsyncSaver:
+    """Background checkpoint writer for the training loop.
+
+    ``save()`` snapshots the train state ON DEVICE (a cheap HBM-to-HBM
+    copy) and returns immediately; the device→host fetch and the orbax
+    write run on a single worker thread, overlapping the next epoch's
+    steps. The snapshot is what makes this safe: the live state's buffers
+    are donated to the next jitted step (train CLI), so a background save
+    reading them directly would hit deleted arrays.
+
+    The reference blocks its train loop on three torch.save calls per
+    epoch (/root/reference/train.py:74-89); here the loop only pays the
+    HBM copy. Worker errors surface at the NEXT ``save()``/``wait()`` —
+    call ``wait()`` after the final epoch (the train CLI does).
+
+    Fetches from the worker thread are plain D2H transfers, not
+    collectives, so they cannot interleave with the step's collective
+    launch order (the invariant documented on ``device_prefetch``).
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+        self._pending = []
+
+    def save(self, ckpt_dir: str, epoch: int, state, history=None):
+        import copy
+
+        import jax.numpy as jnp
+
+        self.wait()  # surface a prior failure before queueing more work
+        # The caller keeps appending to history during the next epoch while
+        # the worker serializes it — snapshot host-side state too.
+        history = copy.deepcopy(history)
+        snap = state.replace(
+            step=jnp.copy(state.step),
+            params=jax.tree.map(jnp.copy, state.params),
+            batch_stats=jax.tree.map(jnp.copy, state.batch_stats),
+            opt_state=jax.tree.map(jnp.copy, state.opt_state),
+        )
+        self._pending.append(
+            self._pool.submit(save_train_state, ckpt_dir, epoch, snap, history)
+        )
+
+    def wait(self):
+        """Block until every queued save has committed; re-raise failures."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
+    def close(self):
+        try:
+            self.wait()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore_train_state(ckpt_dir: str, epoch: int, state):
     """Restore a full TrainState saved by ``save_train_state``."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))

@@ -248,18 +248,31 @@ def main(argv=None):
         # SURVEY.md §5): capture device + host timelines for the first steps.
         jax.profiler.start_trace(args.profile)
 
+    from semseg_tpu.checkpoint import AsyncSaver
+
+    saver = AsyncSaver() if cfg.TPU.async_checkpoint else None
     history = {"train": {"epoch": [], "loss": [], "acc": []}}
-    for epoch in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
-        state = train_one_epoch(
-            step_fn, state, loader_iter, mesh, cfg, epoch, history, logger
-        )
-        if args.profile and epoch == cfg.TRAIN.start_epoch:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            logger.info(f"Wrote profiler trace to {args.profile}")
-        if jax.process_index() == 0:
-            save_train_state(cfg.DIR, epoch + 1, state, history)
-            logger.info(f"Saved checkpoint epoch_{epoch + 1}")
+    try:
+        for epoch in range(cfg.TRAIN.start_epoch, cfg.TRAIN.num_epoch):
+            state = train_one_epoch(
+                step_fn, state, loader_iter, mesh, cfg, epoch, history, logger
+            )
+            if args.profile and epoch == cfg.TRAIN.start_epoch:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                logger.info(f"Wrote profiler trace to {args.profile}")
+            if jax.process_index() == 0:
+                if saver is not None:
+                    # Snapshot on device, write in the background; the next
+                    # epoch starts immediately (checkpoint.AsyncSaver).
+                    saver.save(cfg.DIR, epoch + 1, state, history)
+                    logger.info(f"Saving checkpoint epoch_{epoch + 1} (async)")
+                else:
+                    save_train_state(cfg.DIR, epoch + 1, state, history)
+                    logger.info(f"Saved checkpoint epoch_{epoch + 1}")
+    finally:
+        if saver is not None and jax.process_index() == 0:
+            saver.close()  # joins the last write; re-raises worker errors
 
     loader.close()
     logger.info("Training Done!")

@@ -147,6 +147,11 @@ _C.TPU.remat = False
 # semantics: per-microbatch BN batch statistics, sequential running-stat
 # updates. 1 = off.
 _C.TPU.grad_accum = 1
+# Asynchronous per-epoch checkpointing: the epoch loop pays only an
+# HBM-to-HBM state snapshot; the device->host fetch and orbax write run on
+# a background thread, overlapping the next epoch (the reference blocks on
+# three torch.save calls, train.py:74-89). Off = synchronous save.
+_C.TPU.async_checkpoint = True
 # Persistent XLA compilation cache shared across processes. The bucket
 # lattices cost a 30-55 min one-time compile per fresh process without it
 # (PERF_NOTES "compile budget"); with it, every later run deserializes the

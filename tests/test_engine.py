@@ -93,6 +93,50 @@ class TestCheckpointRoundtrip:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert (tmp_path / "history_epoch_3.json").exists()
 
+    def test_async_saver_survives_donated_live_state(
+        self, tmp_path, model_and_vars
+    ):
+        """AsyncSaver must snapshot on device: after save() returns, the
+        LIVE state's buffers get donated to the next step (deleted) and
+        history keeps growing — the written checkpoint still holds the
+        values and history from save time."""
+        from semseg_tpu.checkpoint import AsyncSaver, restore_train_state
+        from semseg_tpu.parallel import create_train_state
+
+        c = cfg.clone()
+        c.MODEL.arch_encoder = "resnet18dilated"
+        c.MODEL.fc_dim = 512
+        model, variables = model_and_vars
+        # Private copies: this test deletes the state's buffers, which must
+        # not touch the module-scoped fixture's arrays.
+        state = create_train_state(
+            c, model, jax.tree.map(jnp.copy, dict(variables))
+        )
+        state = state.replace(step=jnp.asarray(5, jnp.int32))
+        expect_leaves = [
+            np.asarray(x).copy() for x in jax.tree.leaves(state.params)
+        ]
+        history = {"train": {"loss": [1.0]}}
+
+        with AsyncSaver() as saver:
+            saver.save(str(tmp_path), 2, state, history)
+            # Emulate what the train loop does next: donate the live
+            # buffers and mutate history.
+            for leaf in jax.tree.leaves(state.params) + [state.step]:
+                leaf.delete()
+            history["train"]["loss"].append(2.0)
+            saver.wait()
+
+        fresh = create_train_state(c, model, variables)
+        restored = restore_train_state(str(tmp_path), 2, fresh)
+        assert int(restored.step) == 5
+        for a, b in zip(expect_leaves, jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        import json
+
+        hist = json.load(open(tmp_path / "history_epoch_2.json"))
+        assert hist["train"]["loss"] == [1.0]
+
     def test_variables_restore_from_train_state(self, tmp_path, model_and_vars):
         from semseg_tpu.parallel import create_train_state
         from semseg_tpu.checkpoint import restore_variables, save_train_state
