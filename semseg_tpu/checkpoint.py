@@ -49,7 +49,13 @@ def resolve_reference_checkpoint(cfg, name: str) -> None:
 
 
 def save_train_state(ckpt_dir: str, epoch: int, state, history: Optional[dict] = None):
-    """Save params/batch_stats/opt_state/step under ``ckpt_dir/epoch_N``."""
+    """Save params/batch_stats/opt_state/step under ``ckpt_dir/epoch_N``.
+
+    Multi-host: EVERY process must call this — orbax coordinates the
+    distributed write internally (each process contributes its addressable
+    shards and joins the commit barrier; a primary-only call would hang on
+    that barrier). The history JSON is written by the primary alone.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
     tree = {
         "step": state.step,
@@ -59,7 +65,7 @@ def save_train_state(ckpt_dir: str, epoch: int, state, history: Optional[dict] =
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
-    if history is not None:
+    if history is not None and jax.process_index() == 0:
         with open(os.path.join(ckpt_dir, f"history_epoch_{epoch}.json"), "w") as f:
             json.dump(history, f)
 
@@ -116,6 +122,13 @@ class AsyncSaver:
         snap = state.replace(
             step=step, params=params, batch_stats=stats, opt_state=opt
         )
+        # Multi-host: EVERY process runs the snapshot (a jit over the
+        # globally-replicated state is an SPMD computation) AND submits the
+        # write — orbax coordinates the distributed commit across processes
+        # (see save_train_state); its barrier rides the coordination
+        # service, not device collectives, so it is worker-thread-safe
+        # under the same lockstep-sequence invariant as device_prefetch's
+        # canvas exchange.
         self._pending.append(
             self._pool.submit(save_train_state, ckpt_dir, epoch, snap, history)
         )

@@ -261,17 +261,17 @@ def main(argv=None):
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 logger.info(f"Wrote profiler trace to {args.profile}")
-            if jax.process_index() == 0:
-                if saver is not None:
-                    # Snapshot on device, write in the background; the next
-                    # epoch starts immediately (checkpoint.AsyncSaver).
-                    saver.save(cfg.DIR, epoch + 1, state, history)
-                    logger.info(f"Saving checkpoint epoch_{epoch + 1} (async)")
-                else:
-                    save_train_state(cfg.DIR, epoch + 1, state, history)
-                    logger.info(f"Saved checkpoint epoch_{epoch + 1}")
+            # ALL processes save: the snapshot is an SPMD program over the
+            # replicated state and orbax coordinates the distributed write
+            # (checkpoint.save_train_state); rank>0 logging is silent.
+            if saver is not None:
+                saver.save(cfg.DIR, epoch + 1, state, history)
+                logger.info(f"Saving checkpoint epoch_{epoch + 1} (async)")
+            else:
+                save_train_state(cfg.DIR, epoch + 1, state, history)
+                logger.info(f"Saved checkpoint epoch_{epoch + 1}")
     finally:
-        if saver is not None and jax.process_index() == 0:
+        if saver is not None:
             saver.close()  # joins the last write; re-raises worker errors
 
     loader.close()

@@ -98,6 +98,32 @@ def main(out_dir):
     s = float(jax.jit(lambda b: b["img_data"].sum())(g))
     np.testing.assert_allclose(s, 1 * 4 * 8 * 8 * 3 + 2 * 4 * 10 * 8 * 3)
 
+    # Async checkpointing across processes: every process runs the fused
+    # SPMD snapshot AND the orbax save (orbax coordinates the distributed
+    # commit — a primary-only save would hang on its barrier); history
+    # JSON lands only on the primary.
+    from semseg_tpu.checkpoint import AsyncSaver, restore_tree
+    from semseg_tpu.parallel.train_step import TrainState
+
+    rep = mesh_mod.replicated(mesh)
+    tiny = TrainState(
+        step=jax.device_put(np.zeros((), np.int32) + 3, rep),
+        params={"w": jax.device_put(np.arange(8, dtype=np.float32), rep)},
+        batch_stats={},
+        opt_state={},
+        tx=None,
+        model=None,
+    )
+    with AsyncSaver() as saver:
+        saver.save(out_dir, 9, tiny, {"train": {"loss": [0.5]}})
+    restored = restore_tree(os.path.join(out_dir, "epoch_9"))
+    assert int(np.asarray(restored["step"])) == 3
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(8, dtype=np.float32)
+    )
+    if pid == 0:
+        assert os.path.exists(os.path.join(out_dir, "history_epoch_9.json"))
+
     # Primary-only checkpointing + barrier (cli/train.py:187-189 semantics).
     marker = os.path.join(out_dir, "ckpt_marker")
     if distributed.is_primary():
