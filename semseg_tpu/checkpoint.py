@@ -108,8 +108,6 @@ class AsyncSaver:
     def save(self, ckpt_dir: str, epoch: int, state, history=None):
         import copy
 
-        import jax.numpy as jnp
-
         self.wait()  # surface a prior failure before queueing more work
         # The caller keeps appending to history during the next epoch while
         # the worker serializes it — snapshot host-side state too.
