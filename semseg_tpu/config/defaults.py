@@ -155,7 +155,8 @@ _C.TPU.async_checkpoint = True
 # Persistent XLA compilation cache shared across processes. The bucket
 # lattices cost a 30-55 min one-time compile per fresh process without it
 # (PERF_NOTES "compile budget"); with it, every later run deserializes the
-# executables. "" = default dir (~/.cache/semseg_tpu/xla_cache), "off" =
+# executables. "" = default dir (~/.cache/semseg_tpu/xla_cache/<cpu-fp>,
+# namespaced by host CPU features against cross-host SIGILL), "off" =
 # disabled, anything else = explicit directory.
 _C.TPU.compile_cache = ""
 

@@ -25,11 +25,42 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+def host_fingerprint() -> str:
+    """CPU-capability namespace for the default cache dir.
+
+    XLA's persistent-cache key does NOT include the target machine's CPU
+    features: a CPU executable serialized on a host with, say, AMX/AVX-512
+    extensions and deserialized on one without loads with an XLA warning
+    ("could lead to execution errors such as SIGILL") and may crash. Jobs
+    migrate across heterogeneous hosts between runs while ``~/.cache``
+    persists, so the DEFAULT cache dir is namespaced by a hash of the
+    host's CPU flags (+ arch); explicit ``TPU.compile_cache`` paths are
+    used verbatim. TPU executables are unaffected either way (their key
+    covers the TPU platform/version) — a host change merely recompiles.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}:{feats}"
+    return hashlib.sha1(key.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str = "", *, min_compile_secs: float = 0.5) -> str:
     """Turn on jax's persistent compilation cache; returns the cache dir.
 
     ``path`` semantics (mirrors ``cfg.TPU.compile_cache``):
-      * ``""``      — default user cache dir (``~/.cache/semseg_tpu/xla_cache``)
+      * ``""``      — default user cache dir
+        (``~/.cache/semseg_tpu/xla_cache/<cpu-fingerprint>``, see
+        ``host_fingerprint``)
       * ``"off"``   — disabled; returns ""
       * otherwise   — explicit directory
 
@@ -42,7 +73,7 @@ def enable_compile_cache(path: str = "", *, min_compile_secs: float = 0.5) -> st
         return ""
     import jax
 
-    cache_dir = path or DEFAULT_DIR
+    cache_dir = path or os.path.join(DEFAULT_DIR, host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
     except OSError as e:

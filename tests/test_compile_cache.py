@@ -68,3 +68,18 @@ def test_off_switch():
     from semseg_tpu.utils.compile_cache import enable_compile_cache
 
     assert enable_compile_cache("off") == ""
+
+
+def test_default_dir_is_host_namespaced(tmp_path, monkeypatch):
+    """The default cache dir embeds the CPU fingerprint (stable per host);
+    explicit paths are used verbatim. Guards the cross-host SIGILL hazard
+    documented on host_fingerprint()."""
+    from semseg_tpu.utils import compile_cache as cc
+
+    fp = cc.host_fingerprint()
+    assert fp == cc.host_fingerprint() and len(fp) == 10
+    monkeypatch.setattr(cc, "DEFAULT_DIR", str(tmp_path / "xla"))
+    got = cc.enable_compile_cache("")
+    assert got == str(tmp_path / "xla" / fp) and os.path.isdir(got)
+    explicit = str(tmp_path / "explicit")
+    assert cc.enable_compile_cache(explicit) == explicit
