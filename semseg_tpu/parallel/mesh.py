@@ -77,18 +77,20 @@ def shard_batch(mesh: Mesh, batch: dict, microbatched: bool = False) -> dict:
     (and image heights over ``spatial``, if the mesh has that axis).
     ``microbatched``: every array has a leading grad-accum axis, kept
     replicated (see ``batch_sharding``)."""
-    return jax.tree.map(
-        lambda x: jax.device_put(
-            x, batch_sharding(mesh, np.ndim(x), microbatched)
-        ),
-        batch,
+    # One device_put over the whole tree (jax batches the transfers —
+    # fewer RPC round-trips than a per-leaf loop on tunneled links).
+    shardings = jax.tree.map(
+        lambda x: batch_sharding(mesh, np.ndim(x), microbatched), batch
     )
+    return jax.device_put(batch, shardings)
 
 
 def replicate_state(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
-    sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Single whole-tree device_put: batched transfer instead of one RPC per
+    leaf (~300 leaves for the flagship state)."""
+    return jax.device_put(tree, replicated(mesh))
 
 
 def device_prefetch(iterator, mesh: Mesh, depth: int = 2, put=None):
