@@ -61,6 +61,13 @@ def main():
 
     h, w = args.shape
     results = []
+    for b in args.batches:
+        for k in args.grad_accum:
+            if b % k:
+                print(json.dumps({
+                    "batch": b, "grad_accum": k,
+                    "skipped": "batch not divisible by grad_accum",
+                }), flush=True)
     for remat in ((False,) if args.no_remat else (False, True)):
         for batch, accum in (
             (b, k) for b in args.batches for k in args.grad_accum

@@ -272,7 +272,17 @@ def main(argv=None):
                 logger.info(f"Saved checkpoint epoch_{epoch + 1}")
     finally:
         if saver is not None:
-            saver.close()  # joins the last write; re-raises worker errors
+            import sys
+
+            unwinding = sys.exc_info()[0] is not None
+            try:
+                saver.close()  # joins the last write; re-raises worker errors
+            except Exception:
+                if not unwinding:
+                    raise
+                # Already unwinding a training error — don't let a stale
+                # checkpoint-writer failure replace it as the terminal error.
+                logger.exception("checkpoint writer failed during shutdown")
 
     loader.close()
     logger.info("Training Done!")

@@ -45,11 +45,18 @@ def host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists capabilities under "flags", aarch64 under
+                # "Features"; either way the feature set is the part of
+                # the key that actually varies between hosts.
+                if line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
         pass
+    if not feats:
+        # Non-Linux / unreadable cpuinfo: fall back to the coarsest stable
+        # host identity available rather than sharing one namespace.
+        feats = platform.processor() or platform.platform()
     key = f"{platform.machine()}:{feats}"
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 

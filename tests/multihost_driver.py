@@ -124,7 +124,10 @@ def main(out_dir):
     if pid == 0:
         assert os.path.exists(os.path.join(out_dir, "history_epoch_9.json"))
 
-    # Primary-only checkpointing + barrier (cli/train.py:187-189 semantics).
+    # Primary-only HOST-side artifacts (history JSON, markers, logs) behind
+    # a global barrier — the division of labor save_train_state/AsyncSaver
+    # use for everything that is not an orbax array write (orbax array
+    # commits themselves are all-process coordinated, exercised above).
     marker = os.path.join(out_dir, "ckpt_marker")
     if distributed.is_primary():
         with open(marker, "w") as f:

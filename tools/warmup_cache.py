@@ -73,12 +73,17 @@ def main(argv=None):
     cache_dir = enable_compile_cache(cfg.TPU.compile_cache)
     print(f"cache: {cache_dir or 'DISABLED'}")
 
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from semseg_tpu.models import ModelBuilder, init_variables
-    from semseg_tpu.parallel.mesh import make_mesh, replicate_state
+    from semseg_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_state,
+    )
     from semseg_tpu.parallel.train_step import (
         create_train_state,
         train_step,
@@ -88,16 +93,31 @@ def main(argv=None):
     variables = init_variables(model, seed=0, image_size=(64, 64))
     state = create_train_state(cfg, model, variables)
     # Lower the SAME program the training run compiles: global batch over
-    # the data-parallel mesh, state replicated. An unsharded local-batch
-    # lowering would produce different cache keys and warm nothing.
+    # the data-parallel mesh, state replicated, grad-accum microbatch axis
+    # included (a flat-batch lowering would produce different cache keys
+    # and warm nothing for accumulation runs). An unsharded local-batch
+    # lowering would likewise miss.
     mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
     state = replicate_state(mesh, state)
-    batch_sharding = NamedSharding(mesh, P("data"))
+    accum = cfg.TPU.grad_accum
     n = cfg.TRAIN.batch_size_per_gpu * mesh.devices.size
     local_batch = n // jax.process_count()
-    step = jax.jit(train_step, donate_argnums=(0,))
+    step = jax.jit(
+        functools.partial(train_step, grad_accum=accum), donate_argnums=(0,)
+    )
 
-    shapes = predicted_shapes(cfg, args.iters, local_batch)
+    def spec(shape, dtype):
+        """ShapeDtypeStruct with the training run's sharding; grad-accum
+        batches carry the leading (replicated) microbatch axis."""
+        if accum > 1:
+            shape = (accum,) + shape
+        return jax.ShapeDtypeStruct(
+            shape, dtype, sharding=batch_sharding(mesh, len(shape), accum > 1)
+        )
+
+    # The loader maxes each canvas over local_batch * accum records
+    # (cli/train.py batch_per_gpu) — predict with the same count.
+    shapes = predicted_shapes(cfg, args.iters, local_batch * accum)
     if args.limit:
         shapes = shapes[: args.limit]
     ds = cfg.DATASET.segm_downsampling_rate
@@ -106,18 +126,11 @@ def main(argv=None):
     total = 0.0
     for i, (h, w) in enumerate(shapes):
         batch = {
-            "img_data": jax.ShapeDtypeStruct(
-                (n, h, w, 3), jnp.uint8 if raw else jnp.float32,
-                sharding=batch_sharding,
-            ),
-            "seg_label": jax.ShapeDtypeStruct(
-                (n, h // ds, w // ds), jnp.int32, sharding=batch_sharding
-            ),
+            "img_data": spec((n, h, w, 3), jnp.uint8 if raw else jnp.float32),
+            "seg_label": spec((n, h // ds, w // ds), jnp.int32),
         }
         if raw:
-            batch["img_valid_hw"] = jax.ShapeDtypeStruct(
-                (n, 2), jnp.int32, sharding=batch_sharding
-            )
+            batch["img_valid_hw"] = spec((n, 2), jnp.int32)
         t0 = time.perf_counter()
         step.lower(state, batch, key).compile()
         dt = time.perf_counter() - t0
