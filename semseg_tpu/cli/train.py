@@ -83,7 +83,19 @@ def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logg
         pending_metrics.append(metrics)
         if (i + 1) % cfg.TRAIN.disp_iter == 0 or i + 1 == cfg.TRAIN.epoch_iters:
             for m in pending_metrics:
-                ave_loss.update(float(m["loss"]))
+                loss = float(m["loss"])
+                if not np.isfinite(loss):
+                    # Fail fast with context: a NaN/Inf loss silently
+                    # poisons every later step (params already NaN by the
+                    # time anyone reads the logs). Checked here because the
+                    # scalars are fetched at disp time anyway — no extra
+                    # device sync on the step path.
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at epoch {epoch + 1} "
+                        f"iter <= {i + 1} — lower TRAIN.lr_*, or inspect "
+                        "the batch around this iteration"
+                    )
+                ave_loss.update(loss)
                 ave_acc.update(float(m["acc"]) * 100)
             pending_metrics.clear()
         batch_time.update(time.time() - tic)

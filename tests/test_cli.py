@@ -153,3 +153,29 @@ def test_train_hybrid_spatial_mesh(mini, tmp_path_factory):
     assert "2-way data x 2-way spatial" in out
     assert "Training Done!" in out
     assert os.path.isdir(os.path.join(ckpt, "epoch_1"))
+
+
+def test_train_loop_raises_on_nonfinite_loss():
+    """A NaN loss must abort the epoch loop with context, not poison
+    every later step silently (cli/train.py disp-time guard)."""
+    import logging
+
+    import jax
+    import pytest as _pytest
+
+    from semseg_tpu.config import cfg as _cfg
+    from semseg_tpu.cli.train import train_one_epoch
+
+    c = _cfg.clone()
+    c.TRAIN.epoch_iters = 1
+    c.TRAIN.disp_iter = 1
+
+    def step_fn(state, batch, rng):
+        return state, {"loss": float("nan"), "acc": 0.0}
+
+    history = {"train": {"epoch": [], "loss": [], "acc": []}}
+    with _pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_one_epoch(
+            step_fn, object(), iter([{}]), None, c, 0, history,
+            logging.getLogger("Logger"),
+        )
