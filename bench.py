@@ -22,6 +22,7 @@ with a host fetch as the barrier, best-of-3 against link noise.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -201,16 +202,27 @@ def main():
     ss_fps = bench_single_scale(model, variables)
     if os.environ.get("SEMSEG_BENCH_FAST"):
         ms_fps = train_fps = dp_fps = None
+        errors = {}
     else:
+        import traceback
+
         ms_fps = bench_ms_protocol(cfg_node, model, variables)
+        # A broken sub-bench must not kill the headline line, but it must be
+        # LOUD: the JSON marks which sub-bench failed and stderr carries the
+        # traceback (silently-missing keys read as "ran clean").
+        errors = {}
         try:
             dp_fps = bench_ms_device_pyramid(cfg_node, model, variables)
         except Exception:
             dp_fps = None
+            errors["device_pyramid"] = traceback.format_exc(limit=3).strip()
+            traceback.print_exc(file=sys.stderr)
         try:
             train_fps = bench_train(cfg_node, model, variables)
         except Exception:
             train_fps = None
+            errors["train"] = traceback.format_exc(limit=3).strip()
+            traceback.print_exc(file=sys.stderr)
 
     if ms_fps is not None:
         out = {
@@ -233,6 +245,8 @@ def main():
             out["ms_device_pyramid_fps"] = round(dp_fps, 2)
         if train_fps is not None:
             out["train_img_per_s_bs8"] = round(train_fps, 1)
+        if errors:
+            out["sub_bench_errors"] = sorted(errors)
     else:
         out = {
             "metric": "resnet50dilated+ppm_deepsup single-scale inference",

@@ -636,7 +636,14 @@ class DevicePyramidEngine(BatchedInferenceEngine):
         )
         self.img_max_size = img_max_size
         self.ori_step = ori_step
-        self.ori_canvas = tuple(ori_canvas)
+        # Originals are padded UP to the ori_step lattice before the
+        # dynamic_update_slice into the canvas, so the canvas itself must
+        # sit on the lattice — otherwise an image that passes fits() by raw
+        # size could overflow after padding (e.g. 990 -> 1024 > 1000).
+        self.ori_canvas = (
+            _round_up(int(ori_canvas[0]), ori_step),
+            _round_up(int(ori_canvas[1]), ori_step),
+        )
         # Overlap window k+1's original/label uploads (worker thread) with
         # window k's forwards. Default OFF: on the 1-core tunneled host the
         # uploader thread's RPCs contend with the dispatch stream (measured

@@ -86,9 +86,3 @@ def adaptive_avg_pool2d(x, output_size):
     area = ((he - hs)[:, None] * (we - ws)[None, :]).astype(acc.dtype)
     out = box / area[None, :, :, None]
     return out.astype(x.dtype)
-
-
-def _pair(v):
-    if isinstance(v, (tuple, list)):
-        return tuple(v)
-    return (v, v)

@@ -171,9 +171,43 @@ def _exchange_dims(dims: np.ndarray) -> np.ndarray:
     )
     rows = []
     for p in range(jax.process_count()):
-        val = client.blocking_key_value_get(f"{base}/{p}", 120_000)
-        rows.append(np.fromiter((int(v) for v in val.split(",")), np.int32))
+        rows.append(
+            np.fromiter(
+                (int(v) for v in _kv_get_patient(client, f"{base}/{p}").split(",")),
+                np.int32,
+            )
+        )
     return np.stack(rows).max(axis=0)
+
+
+# A peer may be stalled in a cold-cache train-step compile (measured 20-240 s
+# per shape, tools/compile_budget.py) for SEVERAL consecutive shapes before
+# its prefetch thread reaches the exchange, so the canvas handshake must
+# out-wait any plausible compile stretch. 30 min total, with a log line per
+# expired slice so a genuinely hung peer is visible long before the raise.
+_KV_SLICE_MS = 120_000
+_KV_TOTAL_MS = 1_800_000
+
+
+def _kv_get_patient(client, key: str) -> str:
+    waited = 0
+    while True:
+        try:
+            return client.blocking_key_value_get(key, _KV_SLICE_MS)
+        except Exception as e:  # jaxlib XlaRuntimeError(DEADLINE_EXCEEDED)
+            if "DEADLINE" not in str(e).upper():
+                raise
+            waited += _KV_SLICE_MS
+            if waited >= _KV_TOTAL_MS:
+                raise TimeoutError(
+                    f"peer never posted {key!r} within {waited // 1000} s — "
+                    "a process is down or wedged (not just compiling)"
+                ) from e
+            logging.getLogger("Logger").warning(
+                "canvas exchange: still waiting on %s after %d s "
+                "(peer likely in a cold-cache compile; will wait up to %d s)",
+                key, waited // 1000, _KV_TOTAL_MS // 1000,
+            )
 
 
 def _sync_batch_canvas(local_batch: dict, microbatched: bool = False) -> dict:

@@ -142,9 +142,16 @@ def train_step(state: TrainState, batch, rng, grad_accum: int = 1):
     stays REPLICATED under data parallelism while N is sharded, so the
     scan slices axis 0 locally (slicing a flat sharded (K*N, ...) batch
     makes GSPMD all-gather it whole to every device — measured, see
-    ``batch_sharding``). Same semantics as a torch accumulation loop:
-    each microbatch normalizes with its own BN batch statistics and the
-    running stats advance sequentially.
+    ``batch_sharding``). Accumulation semantics match a torch loop over
+    the same stream: each microbatch normalizes with its own BN batch
+    statistics and the running stats advance sequentially. One deliberate
+    padding delta: all K microbatches share the loader batch's joint
+    (K*N)-max canvas, so a microbatch's BN stats see the padding a
+    straight K*N batch would (the reference feeds batch padding into BN
+    the same way, train-time zero-pad in normalized space), whereas a
+    torch accumulation loop would pad each microbatch only to its OWN
+    max. The aspect-binned loader keeps per-batch size spread — and hence
+    the extra pad fraction — small.
     Returns (new_state, {'loss', 'acc'}).
     """
     dropout_rng = jax.random.fold_in(rng, state.step)

@@ -200,3 +200,20 @@ def test_effective_lattice_respects_padding_constant():
     img = Image.fromarray(np.zeros((197, 263, 3), np.uint8))
     for level in ds.multi_scale_pyramid(img, raw=True):
         assert level.shape[1] % 32 == 0 and level.shape[2] % 32 == 0, level.shape
+
+def test_ori_canvas_rounds_up_to_lattice(model_and_vars):
+    """A non-step-aligned ori_canvas must not admit images whose PADDED
+    shape overflows the canvas: the constructor rounds the canvas up to
+    the ori_step lattice, so fits()-by-raw-size stays sufficient."""
+    model, variables = model_and_vars
+    eng = DevicePyramidEngine(
+        model, variables, num_class=150, output_stride=8, bucket_step=16,
+        img_sizes=(64,), img_max_size=160, ori_step=64,
+        ori_canvas=(1000, 1500),
+    )
+    assert eng.ori_canvas == (1024, 1536)
+    # 990x1490 passes fits() and pads to (1024, 1536) <= canvas.
+    assert eng.fits(990, 1490)
+    from semseg_tpu.data.transforms import round2nearest_multiple
+    assert round2nearest_multiple(990, 64) <= eng.ori_canvas[0]
+    assert round2nearest_multiple(1490, 64) <= eng.ori_canvas[1]
