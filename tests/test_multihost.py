@@ -89,3 +89,39 @@ def test_explicit_bad_handshake_raises():
         "DEADLINE" in proc.stderr or "Terminating process" in proc.stderr
     )
     assert raised or aborted, (proc.returncode, proc.stdout, proc.stderr[-2000:])
+
+
+def test_kv_get_outwaits_peer_compiles(monkeypatch):
+    """The canvas handshake must survive DEADLINE_EXCEEDED slices while a
+    peer sits in a cold-cache compile, but still raise on a wedged peer."""
+    from semseg_tpu.parallel import distributed as D
+
+    class FlakyClient:
+        def __init__(self, deadline_misses):
+            self.misses = deadline_misses
+            self.calls = 0
+
+        def blocking_key_value_get(self, key, timeout_ms):
+            self.calls += 1
+            if self.calls <= self.misses:
+                raise RuntimeError("DEADLINE_EXCEEDED: key not found")
+            return "7,9"
+
+    # Two expired slices, then the peer posts: returns the value.
+    c = FlakyClient(2)
+    assert D._kv_get_patient(c, "semseg/canvas_dims/0/1") == "7,9"
+    assert c.calls == 3
+
+    # A peer that never posts raises TimeoutError once the total budget
+    # is exhausted (shrink the budget so the test is instant).
+    monkeypatch.setattr(D, "_KV_TOTAL_MS", D._KV_SLICE_MS * 2)
+    with pytest.raises(TimeoutError, match="never posted"):
+        D._kv_get_patient(FlakyClient(10**9), "semseg/canvas_dims/1/0")
+
+    # Non-deadline errors propagate immediately.
+    class Broken:
+        def blocking_key_value_get(self, key, timeout_ms):
+            raise RuntimeError("connection reset by peer")
+
+    with pytest.raises(RuntimeError, match="connection reset"):
+        D._kv_get_patient(Broken(), "semseg/canvas_dims/2/0")
