@@ -21,7 +21,7 @@ from . import decoders as dec
 from . import hrnet as hrnet_mod
 from . import mobilenet as mobilenet_mod
 from . import resnet as resnet_mod
-from .segmentation import SegmentationModel, SegmentationModule
+from .segmentation import SegmentationModel
 
 # Stage output channels per encoder arch (for UPerNet fpn_inplanes and the
 # deep-supervision branch which reads conv_out[-2]).
@@ -156,8 +156,6 @@ def init_variables(
     UPerNet/HRNet); inferred from the decoder when omitted.
     """
     if label_downsample is None:
-        from . import decoders as dec
-
         # UPerNet fuses at 1/4; HRNet's C1 head also sits at 1/4.
         if isinstance(model.decoder, dec.UPerNet) or type(
             model.encoder

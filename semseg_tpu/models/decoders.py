@@ -210,6 +210,17 @@ class UPerNet(nn.Module):
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
                  norm_train: Optional[bool] = None):
         train = train if norm_train is None else norm_train  # BN-mode only head
+        # Flax infers the lateral convs' input channels from conv_out, so
+        # fpn_inplanes is a declared CONTRACT (reference UPerNet builds its
+        # laterals from it, models.py:502): validate the encoder actually
+        # delivers that pyramid instead of silently training a different
+        # FPN than the config says.
+        got = tuple(int(c.shape[-1]) for c in conv_out)
+        if got != tuple(self.fpn_inplanes):
+            raise ValueError(
+                f"UPerNet(fpn_inplanes={tuple(self.fpn_inplanes)}) fed a "
+                f"{got}-channel feature pyramid — encoder/decoder mismatch"
+            )
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         conv5 = conv_out[-1]
         h, w = conv5.shape[1], conv5.shape[2]

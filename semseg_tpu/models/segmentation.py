@@ -56,7 +56,10 @@ class SegmentationModel(nn.Module):
             return self.decoder(feats, train=False)
 
         out = self.decoder(feats, train=train, norm_train=norm_train)
-        if self.deep_sup_scale is not None:
+        # Deepsup decoders return (logits, deepsup_logits) only when the
+        # training branch ran; with train=False (e.g. a validation loss
+        # under frozen BN) they return a single logits array.
+        if self.deep_sup_scale is not None and train:
             logits, logits_deepsup = out
         else:
             logits, logits_deepsup = out, None
@@ -84,9 +87,14 @@ class SegmentationModule:
     of distinct shapes — see semseg_tpu.data).
     """
 
-    def __init__(self, model: SegmentationModel, variables):
+    def __init__(self, model: SegmentationModel, variables, seed: int = 0):
         self.model = model
         self.variables = variables
+        # Fresh dropout randomness per training forward (the reference's
+        # torch forwards draw new masks every call); folded below so the
+        # jitted fn stays cacheable.
+        self._dropout_base = jax.random.PRNGKey(seed)
+        self._fwd_count = 0
 
     @functools.cached_property
     def _infer_fn(self):
@@ -99,10 +107,10 @@ class SegmentationModule:
     @functools.cached_property
     def _train_fwd_fn(self):
         @jax.jit
-        def run(variables, img, label):
+        def run(variables, img, label, dropout_key):
             (loss, acc), _ = self.model.apply(
                 variables, img, seg_label=label, train=True,
-                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"], rngs={"dropout": dropout_key},
             )
             return loss, acc
 
@@ -112,4 +120,8 @@ class SegmentationModule:
         img = feed_dict["img_data"]
         if segSize is not None:
             return self._infer_fn(self.variables, img, tuple(segSize))
-        return self._train_fwd_fn(self.variables, img, feed_dict["seg_label"])
+        key = jax.random.fold_in(self._dropout_base, self._fwd_count)
+        self._fwd_count += 1
+        return self._train_fwd_fn(
+            self.variables, img, feed_dict["seg_label"], key
+        )

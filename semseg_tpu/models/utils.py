@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from urllib.parse import urlparse
 from urllib.request import urlretrieve
 
@@ -39,9 +40,15 @@ def load_url(url: str, model_dir: str = "./pretrained", map_location=None) -> st
     cached_file = os.path.join(model_dir, filename)
     if not os.path.exists(cached_file):
         sys.stderr.write(f'Downloading: "{url}" to {cached_file}\n')
-        # Download to a temp name and rename on success: a partial file at
-        # the final path would be treated as a valid cache forever after.
-        tmp = cached_file + ".part"
+        # Download to a UNIQUE temp name and rename on success: a partial
+        # file at the final path would be treated as a valid cache forever
+        # after, and a shared ".part" name would interleave writes when two
+        # processes (multi-host training on a shared FS) miss the cache at
+        # once. os.replace keeps the winner atomic either way.
+        fd, tmp = tempfile.mkstemp(
+            prefix=filename + ".", suffix=".part", dir=model_dir
+        )
+        os.close(fd)
         try:
             urlretrieve(url, tmp)
             os.replace(tmp, cached_file)

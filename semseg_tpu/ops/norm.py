@@ -52,6 +52,20 @@ def batch_norm_train(
     """
     adt = acc_dtype(x.dtype)
     xf = x.astype(adt)
+    # The reference asserts size > 1 (batchnorm.py); with n == 1 the
+    # unbiased variance below is 0/0 and a NaN lands SILENTLY in the
+    # running stats (normalization uses bias_var, so the loss stays
+    # finite and nothing else trips). Shapes are static, so fail loudly
+    # at trace time instead.
+    local_n = x.shape[0] * x.shape[1] * x.shape[2]
+    global_n = local_n * (1 if axis_name is None else lax.axis_size(axis_name))
+    if global_n <= 1:
+        raise ValueError(
+            f"batch_norm_train needs >1 element per channel, got {global_n} "
+            f"(input {x.shape}); a global batch of 1 reaching a 1x1 feature "
+            "map cannot estimate batch statistics (the reference asserts "
+            "the same)"
+        )
     # Per-shard partials; under GSPMD jit these reductions are already global.
     s = jnp.sum(xf, axis=(0, 1, 2))
     ss = jnp.sum(xf * xf, axis=(0, 1, 2))

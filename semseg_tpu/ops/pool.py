@@ -63,7 +63,12 @@ def adaptive_avg_pool2d(x, output_size):
     if (h, w) == (oh, ow):
         return x
     if oh == 1 and ow == 1:
-        return jnp.mean(x, axis=(1, 2), keepdims=True)
+        # Accumulate in the wide dtype like the integral-image path below:
+        # a bf16-semantics mean over a 64x64 map drifts ~1% per channel.
+        pooled = jnp.mean(
+            x.astype(acc_dtype(x.dtype)), axis=(1, 2), keepdims=True
+        )
+        return pooled.astype(x.dtype)
 
     # Integral image with a leading zero row/col: ii[:, i, j, :] = sum of
     # x[:, :i, :j, :].

@@ -577,3 +577,53 @@ class TestDistributedHelpers:
         s = local_batch_slice(2)
         assert s.start == 0 and s.stop == 2 * jax.local_device_count()
         assert process_seed(304) != process_seed(304, worker=1)
+
+
+class TestReviewRegressions:
+    def test_deepsup_loss_with_train_false(self, setup, rng):
+        """Validation loss on a deepsup model (train=False + seg_label):
+        the decoder returns ONE logits array there, and the module must
+        not mis-unpack it as (logits, deepsup)."""
+        c, model, state = setup
+        batch = make_batch(rng)
+        loss, acc = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, jnp.asarray(batch["img_data"]),
+            seg_label=jnp.asarray(batch["seg_label"]), train=False,
+        )
+        assert np.isfinite(float(loss)) and 0.0 <= float(acc) <= 1.0
+
+    def test_batch_norm_train_rejects_single_element(self):
+        """n==1 would put 0/0 NaNs into the running stats (the reference
+        asserts size > 1) — we raise at trace time instead."""
+        from semseg_tpu.ops.norm import batch_norm_train
+
+        x = jnp.ones((1, 1, 1, 8), jnp.float32)
+        one = jnp.ones((8,), jnp.float32)
+        zero = jnp.zeros((8,), jnp.float32)
+        with pytest.raises(ValueError, match=">1 element"):
+            batch_norm_train(x, one, zero, zero, one, jnp.ones(()))
+
+    def test_module_training_forwards_draw_fresh_dropout(self, setup, rng):
+        """SegmentationModule training forwards must not reuse one fixed
+        dropout mask (the reference draws fresh masks per call)."""
+        from semseg_tpu.models.segmentation import SegmentationModule
+
+        c, model, state = setup
+        mod = SegmentationModule(model, {"params": state.params, "batch_stats": state.batch_stats})
+        batch = make_batch(rng)
+        feed = {"img_data": jnp.asarray(batch["img_data"]),
+                "seg_label": jnp.asarray(batch["seg_label"])}
+        losses = {float(mod(feed)[0]) for _ in range(4)}
+        assert len(losses) > 1, "identical dropout mask on every forward"
+
+    def test_upernet_validates_fpn_inplanes(self):
+        """fpn_inplanes is a declared contract with the encoder's pyramid;
+        a mismatched pyramid must fail loudly, not silently train a
+        different FPN than the config says."""
+        from semseg_tpu.models import decoders as dec
+
+        up = dec.UPerNet(num_class=4, fc_dim=32, fpn_inplanes=(8, 16, 32))
+        pyr = [jnp.zeros((1, 16, 16, 8)), jnp.zeros((1, 8, 8, 99)),
+               jnp.zeros((1, 4, 4, 32))]
+        with pytest.raises(ValueError, match="fpn_inplanes"):
+            up.init(jax.random.PRNGKey(0), pyr)
