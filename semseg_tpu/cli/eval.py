@@ -194,11 +194,12 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     if errors:
         raise errors[0]
 
-    iou = iou_meter_inter / (iou_meter_union + 1e-10)
+    from semseg_tpu.utils.metrics import miou_from_meters
+
+    iou, miou = miou_from_meters(iou_meter_inter, iou_meter_union)
     names = load_class_names()
     for i, class_iou in enumerate(iou):
         logger.info(f"class [{i}], IoU: {class_iou:.4f}  ({names[i + 1]})")
-    miou = iou.mean()
     logger.info(
         f"[Eval Summary]:\nMean IoU: {miou:.4f}, "
         f"Accuracy: {acc_meter.average() * 100:.2f}%, "
@@ -216,7 +217,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
 
 
 def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
-                  fetch_dtype=None, device_pyramid=False):
+                  fetch_dtype=None, device_pyramid=False,
+                  batch_explicit=True):
     from semseg_tpu.data.dataset import _effective_lattice
 
     # The engine's grouping lattice must equal the dataset's resize lattice
@@ -241,7 +243,9 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
         # (GSPMD conv halo exchange) — multi-chip single-image latency.
         from semseg_tpu.parallel.mesh import make_mesh
 
-        if batch > 1 or device_pyramid:
+        if (batch > 1 and batch_explicit) or device_pyramid:
+            # Only warn about flags the user actually passed — `batch`
+            # carries a default of 4 that must not trigger this.
             import logging
 
             logging.getLogger("Logger").warning(
@@ -302,8 +306,9 @@ def main(argv=None):
                         help="bit-parity mode: no shape bucketing (slow on TPU)")
     parser.add_argument("--spatial", type=int, default=0,
                         help="shard each image's height across N chips")
-    parser.add_argument("--batch", type=int, default=4,
-                        help="cross-image bucket batch size (0/1 = per-image)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="cross-image bucket batch size (0/1 = per-image; "
+                             "default 4)")
     parser.add_argument("--fetch-dtype", default="bfloat16",
                         help="device->host logits dtype (bfloat16 halves the "
                              "transfer; float32 for exact parity)")
@@ -353,20 +358,25 @@ def main(argv=None):
 
     enable_compile_cache(cfg.TPU.compile_cache)
     logger = setup_logger()
+    batch_explicit = args.batch is not None
+    batch = args.batch if batch_explicit else 4
     # Visualization runs batched_predict over the HOST pyramids, which are
-    # intentionally empty in device-pyramid mode — so the two are exclusive.
+    # intentionally empty in device-pyramid mode — so the two are exclusive;
+    # --spatial builds a plain spatially-sharded InferenceEngine (no
+    # original-image canvas), so it is exclusive too.
     device_pyramid = (
-        args.device_pyramid and args.batch > 1 and not args.exact
-        and not cfg.VAL.visualize
+        args.device_pyramid and batch > 1 and not args.exact
+        and not cfg.VAL.visualize and args.spatial <= 1
     )
     if args.device_pyramid and not device_pyramid:
         logger.warning(
             "--device-pyramid ignored (requires --batch > 1, no --exact, "
-            "and VAL.visualize False)"
+            "no --spatial, and VAL.visualize False)"
         )
     engines = build_engines(
         cfg, args.devices, exact=args.exact, spatial=args.spatial,
-        batch=args.batch, fetch_dtype=None if args.exact else args.fetch_dtype,
+        batch=batch, batch_explicit=batch_explicit,
+        fetch_dtype=None if args.exact else args.fetch_dtype,
         device_pyramid=device_pyramid,
     )
 

@@ -53,13 +53,19 @@ def build_train_mesh(cfg, devices_arg: int = 0):
             "TPU.spatial hybrid training is single-host; combine "
             "--multihost with pure data parallelism instead"
         )
-    total = cfg.TPU.data_parallel or devices_arg or len(jax.devices())
-    if total % cfg.TPU.spatial:
-        raise ValueError(
-            f"TPU.spatial={cfg.TPU.spatial} must divide the "
-            f"device count {total}"
-        )
-    return make_mesh_2d(total // cfg.TPU.spatial, cfg.TPU.spatial)
+    # TPU.data_parallel / --devices name the number of DATA groups (the
+    # config doc's "devices used = data_groups x spatial"); only the
+    # all-devices default is a total that spatial divides down.
+    data_groups = cfg.TPU.data_parallel or devices_arg
+    if not data_groups:
+        total = len(jax.devices())
+        if total % cfg.TPU.spatial:
+            raise ValueError(
+                f"TPU.spatial={cfg.TPU.spatial} must divide the "
+                f"device count {total}"
+            )
+        data_groups = total // cfg.TPU.spatial
+    return make_mesh_2d(data_groups, cfg.TPU.spatial)
 
 
 def train_one_epoch(step_fn, state, loader_iter, mesh, cfg, epoch, history, logger):

@@ -2,7 +2,7 @@
 
 Build (one-time, also triggered lazily on import):
 
-    g++ -O3 -march=native -shared -fPIC preprocess.cpp -o libssgnative.so
+    g++ -O3 -march=native -shared -fPIC preprocess.cpp -o libssgnative-<cpu-fingerprint>.so
 
 All entry points release the GIL (plain ctypes calls), so the threaded
 loaders scale across cores. Every function has a PIL/numpy fallback —
@@ -14,38 +14,74 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import tempfile
+import threading
 from typing import Optional
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libssgnative.so")
 _SRC = os.path.join(_DIR, "preprocess.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+_load_lock = threading.Lock()
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    # -march=native tunes the binary to THIS host's ISA extensions; a
+    # working dir migrating to a weaker host would load the stale .so and
+    # SIGILL inside a loader thread. Namespace the artifact by the same
+    # CPU-flags fingerprint the XLA cache dir uses (compile_cache.py).
+    from semseg_tpu.utils.compile_cache import host_fingerprint
+
+    return os.path.join(_DIR, f"libssgnative-{host_fingerprint()}.so")
+
+
+def _build(so: str) -> bool:
+    # Compile to a unique temp name and rename: concurrent PROCESSES both
+    # missing the cache must not interleave writes into one output file
+    # (threads are already serialized by _load_lock).
+    fd, tmp = tempfile.mkstemp(prefix="libssgnative.", suffix=".so", dir=_DIR)
+    os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, so)
         return True
     except Exception:
         return False
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
-    if _lib is not None:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
+    with _load_lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        lib = _load_locked()
+        # Cache failure too: available() runs once per batch per loader
+        # worker, and a host where the build fails must not pay a fresh
+        # g++ subprocess (seconds) on every call.
+        _lib = lib
+        _load_attempted = True
+        return _lib
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    so = _so_path()
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(_SRC):
+        if not _build(so):
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except OSError:
         return None
 
@@ -56,7 +92,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ssg_resize_nearest_u8.argtypes = [u8p, i, i, i, u8p, i, i]
     lib.ssg_normalize_pad.argtypes = [u8p, i, i, f32p, i, i, f32p, f32p]
     lib.ssg_preprocess.argtypes = [u8p, i, i, i, i, i, i, f32p, f32p, f32p]
-    _lib = lib
     return lib
 
 

@@ -134,8 +134,8 @@ class Predictor:
         """Segment a list of uint8 (H, W, 3) images.
 
         Images are grouped by their picked bucket and packed into the
-        exported batch dimension (final partial chunks pad with the last
-        entry, whose surplus outputs are dropped) — one program call per
+        exported batch dimension (final partial chunks pad with zero
+        images, whose surplus outputs are dropped) — one program call per
         chunk instead of per image.
         """
         from PIL import Image

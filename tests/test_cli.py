@@ -11,6 +11,8 @@ import subprocess
 import sys
 
 import numpy as np
+
+import jax
 import pytest
 from PIL import Image
 
@@ -122,16 +124,22 @@ def test_build_train_mesh_selection():
     c.TPU.data_parallel = 4
     assert dict(build_train_mesh(c).shape) == {"data": 4}
 
+    # data_parallel counts DATA GROUPS (devices = data x spatial, per the
+    # config doc) — setting it must never silently shrink the global batch.
     c.TPU.spatial = 2
     mesh = build_train_mesh(c)
-    assert dict(mesh.shape) == {"data": 2, "spatial": 2}
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
 
     c.TPU.data_parallel = 0
-    mesh = build_train_mesh(c, devices_arg=4)
+    mesh = build_train_mesh(c, devices_arg=2)
     assert dict(mesh.shape) == {"data": 2, "spatial": 2}
 
+    # All-devices default: the total is divided down by spatial.
+    c.TPU.spatial = 2
+    mesh = build_train_mesh(c)
+    assert dict(mesh.shape) == {"data": len(jax.devices()) // 2, "spatial": 2}
+
     c.TPU.spatial = 3
-    c.TPU.data_parallel = 4
     with pytest.raises(ValueError, match="must divide"):
         build_train_mesh(c)
 

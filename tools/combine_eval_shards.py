@@ -32,12 +32,14 @@ def main(argv=None):
         inter = z["inter"] if inter is None else inter + z["inter"]
         union = z["union"] if union is None else union + z["union"]
 
-    iou = inter / (union + 1e-10)
+    from semseg_tpu.utils.metrics import miou_from_meters
+
+    iou, miou = miou_from_meters(inter, union)
     for i, v in enumerate(iou):
         print(f"class [{i}], IoU: {v:.4f}")
     print(
         f"[Combined over {len(args.shards)} shard(s)]:\n"
-        f"Mean IoU: {iou.mean():.4f}, Accuracy: {100 * acc_sum / (pix + 1e-10):.2f}%"
+        f"Mean IoU: {miou:.4f}, Accuracy: {100 * acc_sum / (pix + 1e-10):.2f}%"
     )
 
 

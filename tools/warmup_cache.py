@@ -81,7 +81,6 @@ def main(argv=None):
     from semseg_tpu.models import ModelBuilder, init_variables
     from semseg_tpu.parallel.mesh import (
         batch_sharding,
-        make_mesh,
         replicate_state,
     )
     from semseg_tpu.parallel.train_step import (
@@ -92,15 +91,20 @@ def main(argv=None):
     model = ModelBuilder.build_model(cfg, dtype=jnp.dtype(cfg.TPU.compute_dtype))
     variables = init_variables(model, seed=0, image_size=(64, 64))
     state = create_train_state(cfg, model, variables)
-    # Lower the SAME program the training run compiles: global batch over
-    # the data-parallel mesh, state replicated, grad-accum microbatch axis
-    # included (a flat-batch lowering would produce different cache keys
-    # and warm nothing for accumulation runs). An unsharded local-batch
-    # lowering would likewise miss.
-    mesh = make_mesh(cfg.TPU.data_parallel or args.devices or None)
+    # Lower the SAME program the training run compiles: the training CLI's
+    # OWN mesh builder (data-parallel or hybrid data x spatial — a pure-dp
+    # lowering for a TPU.spatial config would produce different shardings,
+    # hence different cache keys, and warm nothing), state replicated,
+    # grad-accum microbatch axis included (a flat-batch lowering would
+    # likewise miss). batch_sharding below picks the matching specs.
+    from semseg_tpu.cli.train import build_train_mesh
+
+    mesh = build_train_mesh(cfg, args.devices)
     state = replicate_state(mesh, state)
     accum = cfg.TPU.grad_accum
-    n = cfg.TRAIN.batch_size_per_gpu * mesh.devices.size
+    # Per data-GROUP batch (== per chip only without spatial sharding) —
+    # the same global-batch rule as cli/train.py.
+    n = cfg.TRAIN.batch_size_per_gpu * mesh.shape["data"]
     local_batch = n // jax.process_count()
     step = jax.jit(
         functools.partial(train_step, grad_accum=accum), donate_argnums=(0,)
