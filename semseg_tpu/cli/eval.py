@@ -259,6 +259,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                 num_class=cfg.DATASET.num_class,
                 output_stride=output_stride_for(cfg),
                 bucket_step=eval_step,
+                padding_constant=cfg.DATASET.padding_constant,
                 exact=exact,
                 fetch_dtype=fetch_dtype,
                 spatial_mesh=make_mesh(spatial),
@@ -272,6 +273,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
             num_class=cfg.DATASET.num_class,
             output_stride=output_stride_for(cfg),
             bucket_step=eval_step,
+            padding_constant=cfg.DATASET.padding_constant,
             exact=exact,
             fetch_dtype=fetch_dtype,
         )

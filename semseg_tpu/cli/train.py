@@ -34,6 +34,7 @@ from semseg_tpu.parallel import (
     replicate_state,
     shard_batch,
 )
+from semseg_tpu.parallel.distributed import process_seed
 from semseg_tpu.utils import AverageMeter, setup_logger
 
 
@@ -217,9 +218,9 @@ def main(argv=None):
             cfg.DATASET.list_train,
             cfg.DATASET,
             batch_per_gpu=local_batch * cfg.TPU.grad_accum,
-            seed=cfg.TRAIN.seed * 1000
-            + jax.process_index() * 97
-            + worker_seed,
+            # One source of truth for the per-host/per-worker stream
+            # de-correlation constants (parallel.distributed.process_seed).
+            seed=process_seed(cfg.TRAIN.seed, worker_seed),
             bucket_step=cfg.TPU.bucket_step,
             raw_transport=cfg.TPU.device_preproc,
         ),

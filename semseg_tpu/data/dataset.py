@@ -155,7 +155,14 @@ class TrainDataset(BaseDataset):
         self.bucket_step = _effective_lattice(
             max(bucket_step or 0, self.padding_constant), self.padding_constant
         )
-        assert self.padding_constant >= self.segm_downsampling_rate
+        # Divisibility, not just ordering: the batch canvas height is a
+        # multiple of the (padding_constant-aligned) lattice, and the label
+        # canvas is batch_h // rate — a non-dividing rate makes a sample's
+        # ceil-rounded label block overflow the floored canvas (broadcast
+        # error mid-epoch) and misaligns the label grid vs the model's
+        # downsampled logits. The shipped configs satisfy 8%8 and 32%4.
+        assert self.padding_constant % self.segm_downsampling_rate == 0, (
+            self.padding_constant, self.segm_downsampling_rate)
 
         self.rng = np.random.default_rng(seed)
         self._order = self.rng.permutation(self.num_sample)

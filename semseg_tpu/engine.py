@@ -97,15 +97,25 @@ class InferenceEngine:
         num_class: int = 150,
         output_stride: int = 8,
         bucket_step: int = 64,
+        padding_constant: int = 1,
         exact: bool = False,
         spatial_mesh=None,
         fetch_dtype=None,
     ):
+        from semseg_tpu.data.dataset import _effective_lattice
+
         self.model = model
         self.variables = variables
         self.num_class = num_class
         self.output_stride = output_stride
-        self.bucket_step = bucket_step
+        # Keep the architecture's padding_constant alignment INSIDE the
+        # engine (the same _effective_lattice rule ValDataset applies), so
+        # a constructor passing e.g. bucket_step=48 with a 32-pad UPerNet
+        # model cannot produce level shapes the model rejects or that
+        # disagree with the dataset's host pyramids.
+        self.bucket_step = _effective_lattice(
+            max(bucket_step or 0, padding_constant), padding_constant
+        )
         self.exact = exact
         # Device→host logits dtype: 'bfloat16' halves the D2H transfer (the
         # bottleneck on tunneled/remote device links) at ~1e-3 probability
@@ -121,6 +131,36 @@ class InferenceEngine:
             self.variables = jax.device_put(
                 self.variables, replicated(spatial_mesh)
             )
+        # Device affinity: eager allocations (uploads, score canvases) must
+        # land on the SAME device as the committed variables — bare
+        # jnp.asarray/zeros go to the global default, so multi-device eval
+        # would stage every canvas and input through device 0 (HBM
+        # pressure there + an extra copy hop per upload).
+        self.device = None
+        if spatial_mesh is None:
+            leaves = jax.tree.leaves(self.variables)
+            if leaves and hasattr(leaves[0], "devices"):
+                devs = leaves[0].devices()
+                if len(devs) == 1:
+                    (self.device,) = devs
+
+    def _on_device(self):
+        import contextlib
+
+        return (
+            jax.default_device(self.device)
+            if self.device is not None
+            else contextlib.nullcontext()
+        )
+
+    def _put(self, x, dtype=None):
+        """jnp.asarray onto this engine's device."""
+        with self._on_device():
+            return jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+
+    def _zeros(self, shape, dtype):
+        with self._on_device():
+            return jnp.zeros(shape, dtype)
 
     # -- jitted kernels ----------------------------------------------------
     @functools.cached_property
@@ -174,7 +214,7 @@ class InferenceEngine:
                 if img.dtype == np.uint8:
                     img = ((img.astype(np.float32) / 255.0) - MEAN) / STD
                 probs = self._exact_fn(
-                    self.variables, jnp.asarray(img), tuple(seg_size)
+                    self.variables, self._put(img), tuple(seg_size)
                 )
                 acc += np.asarray(probs[0])
             acc /= len(pyramid)
@@ -188,7 +228,7 @@ class InferenceEngine:
             ph, pw = _round_up(h, self.bucket_step), _round_up(w, self.bucket_step)
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-            dev_img = jnp.asarray(img)
+            dev_img = self._put(img)
             if self.spatial_mesh is not None:
                 dev_img = jax.device_put(dev_img, self._img_sharding)
             if img.dtype == np.uint8:
@@ -370,8 +410,8 @@ class BatchedInferenceEngine(InferenceEngine):
             batch[j, :h, :w] = arr[0]
             hs[j], ws[j] = h, w
         dev_logits = self._batched_raw_fn(
-            self.variables, jnp.asarray(batch), jnp.asarray(hs),
-            jnp.asarray(ws), to_fetch,
+            self.variables, self._put(batch), self._put(hs),
+            self._put(ws), to_fetch,
         )
         return dev_logits, [(h, w) for (_, _, h, w) in padded_chunk]
 
@@ -405,7 +445,7 @@ class BatchedInferenceEngine(InferenceEngine):
                     h, w = hws[j]
                     H, W = seg_sizes[item_idx]
                     if item_idx not in accs:
-                        accs[item_idx] = jnp.zeros(
+                        accs[item_idx] = self._zeros(
                             (
                                 _round_up(H, self.bucket_step),
                                 _round_up(W, self.bucket_step),
@@ -495,7 +535,7 @@ class BatchedInferenceEngine(InferenceEngine):
             lab[:H, :W] = np.where(
                 labels[item_idx] < 0, 255, labels[item_idx]
             ).astype(np.uint8)
-            return self._metrics_fn(acc, jnp.asarray(lab))
+            return self._metrics_fn(acc, self._put(lab))
 
         return finalize
 
@@ -510,6 +550,9 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def _device_postproc_predict(self, items, seg_sizes):
         """On-device resize/softmax/accumulate/argmax; fetch only uint8 maps."""
+        # Same uint8-transport bound the metrics paths assert: class ids
+        # >= 255 would silently wrap in the fetched prediction maps.
+        assert self.num_class < 255, self.num_class
         preds = self._windowed_accumulate(
             items, seg_sizes, lambda _i, acc: self._argmax_fn(acc)
         )
@@ -746,7 +789,7 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 obw = _round_up(w, self.ori_step)
                 padded = np.zeros((obh, obw, 3), np.uint8)
                 padded[:h, :w] = ori
-                canvases[i] = self._embed_fn(jnp.asarray(padded))
+                canvases[i] = self._embed_fn(self._put(padded))
                 H, W = seg_sizes[i]
                 lab = np.full(
                     (_round_up(H, self.bucket_step),
@@ -756,20 +799,20 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 lab[:H, :W] = np.where(
                     labels[i] < 0, 255, labels[i]
                 ).astype(np.uint8)
-                dev_labels[i] = jnp.asarray(lab)
+                dev_labels[i] = self._put(lab)
 
         def forward_chunk(key, padded_chunk):
             lh, lw = key
             cvs = jnp.stack([canvases[i] for (i, _, _) in padded_chunk])
-            ohs = jnp.asarray(
+            ohs = self._put(
                 [originals[i].shape[0] for (i, _, _) in padded_chunk],
                 jnp.int32,
             )
-            ows = jnp.asarray(
+            ows = self._put(
                 [originals[i].shape[1] for (i, _, _) in padded_chunk],
                 jnp.int32,
             )
-            ths_tws = jnp.asarray(
+            ths_tws = self._put(
                 [(th, tw) for (_, th, tw) in padded_chunk], jnp.int32
             )
             dev_logits = self._pyramid_level_fn(

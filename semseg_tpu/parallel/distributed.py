@@ -158,12 +158,17 @@ def _exchange_dims(dims: np.ndarray) -> np.ndarray:
     client = _client()
     seq = _canvas_sync_seq
     _canvas_sync_seq += 1
-    if client is None:  # unexpected: multi-process without a client
-        from jax.experimental import multihost_utils
-
-        return np.asarray(
-            multihost_utils.process_allgather(dims)
-        ).reshape(jax.process_count(), -1).max(axis=0)
+    if client is None:
+        # No KV client in a multi-process run (jax moved global_state?).
+        # Do NOT fall back to multihost_utils.process_allgather here: that
+        # is a DEVICE collective, and this function runs on the prefetch
+        # thread — interleaving it with the step stream's collectives is
+        # exactly the launch-order deadlock this KV path exists to avoid.
+        raise RuntimeError(
+            "multi-process canvas exchange needs the coordination-service "
+            "KV client, which could not be reached on this jax version; "
+            "see _client() in semseg_tpu/parallel/distributed.py"
+        )
 
     base = f"semseg/canvas_dims/{seq}"
     client.key_value_set(

@@ -351,9 +351,16 @@ class TestSegmentationModuleWrapper:
         assert scores.shape == (1, 50, 60, 150)
         np.testing.assert_allclose(np.asarray(scores).sum(-1), 1.0, atol=1e-4)
 
-        lab = jnp.asarray(rng.randint(-1, 150, (1, 8, 8)).astype(np.int32))
-        loss, acc = module({"img_data": img, "seg_label": lab})
+        # Training forward at batch 2 (the reference default): batch 1
+        # through the PPM's 1x1-pooled BN raises in torch too ("Expected
+        # more than 1 value per channel") — asserted below.
+        img2 = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+        lab2 = jnp.asarray(rng.randint(-1, 150, (2, 8, 8)).astype(np.int32))
+        loss, acc = module({"img_data": img2, "seg_label": lab2})
         assert np.isfinite(float(loss)) and 0.0 <= float(acc) <= 1.0
+
+        with pytest.raises(ValueError, match=">1 element"):
+            module({"img_data": img, "seg_label": lab2[:1]})
 
 
 class TestConverterErrors:
