@@ -375,3 +375,30 @@ class TestConverterErrors:
                 arch_decoder="ppm_deepsup",
                 encoder_state={"conv1.weight": np.zeros((64, 3, 3, 3), np.float32)},
             )
+
+
+def test_engine_allocations_follow_variables_device(model_and_vars):
+    """Engines must allocate uploads/canvases on THEIR device — bare
+    jnp.asarray would stage everything through device 0 in multi-device
+    eval (one device holds all engines' canvases)."""
+    model, variables = model_and_vars
+    dev = jax.devices()[3]
+    eng = InferenceEngine(
+        model, jax.device_put(variables, dev), num_class=150,
+        output_stride=8, bucket_step=16,
+    )
+    assert eng.device == dev
+    a = eng._put(np.zeros((4, 4), np.uint8))
+    z = eng._zeros((8, 8, 3), jnp.float32)
+    assert a.devices() == {dev} and z.devices() == {dev}
+
+
+def test_engine_bucket_step_keeps_padding_alignment(model_and_vars):
+    """The padding_constant lattice rule lives in the engine itself, not
+    just in one CLI call site."""
+    model, variables = model_and_vars
+    eng = InferenceEngine(
+        model, variables, num_class=150, output_stride=8,
+        bucket_step=48, padding_constant=32,
+    )
+    assert eng.bucket_step == 64  # smallest 32-aligned lattice >= 48
