@@ -197,7 +197,36 @@ def bench_train(cfg_node, model, variables):
     return batch * steps / best
 
 
+def _check_backend_alive(timeout_s: int = 300):
+    """Fail FAST (with a diagnostic JSON line) if the device backend cannot
+    initialize — the tunneled axon plugin blocks indefinitely when its link
+    is down, which would otherwise hang this benchmark forever. The probe
+    runs in a subprocess so the hang cannot leak into this process."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode == 0:
+            return
+        detail = (proc.stderr or "").strip()[-500:]
+    except subprocess.TimeoutExpired:
+        detail = f"backend init did not finish within {timeout_s}s"
+    print(json.dumps({
+        "metric": "resnet50dilated+ppm_deepsup 5-scale TTA eval protocol",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": f"device backend unavailable: {detail}",
+    }))
+    sys.exit(1)
+
+
 def main():
+    _check_backend_alive()
     cfg_node, model, variables = build_model()
     ss_fps = bench_single_scale(model, variables)
     if os.environ.get("SEMSEG_BENCH_FAST"):
