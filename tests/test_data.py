@@ -300,3 +300,58 @@ class TestLoaderFailure:
         time.sleep(0.6)
         assert len(fetched) == n, "workers still fetching after close"
         assert n < 1000
+
+
+class TestLatticeFuzz:
+    def test_train_batch_invariants_over_random_shapes(self, tmp_path):
+        """Fuzz the batch-assembly lattice logic: random record sizes,
+        scales, lattices and label rates must always produce aligned
+        canvases with in-range labels (the class of bug where a sample's
+        ceil-rounded label block overflows the floored canvas)."""
+        from PIL import Image as PILImage
+
+        from semseg_tpu.config import cfg as _cfg
+        from semseg_tpu.data.dataset import TrainDataset
+
+        rng = np.random.RandomState(7)
+        os.makedirs(tmp_path / "img", exist_ok=True)
+        recs = []
+        for i in range(10):
+            h = int(rng.randint(33, 260))
+            w = int(rng.randint(33, 260))
+            PILImage.fromarray(
+                rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+            ).save(tmp_path / "img" / f"{i}.jpg")
+            PILImage.fromarray(
+                rng.randint(0, 151, (h, w)).astype(np.uint8), "L"
+            ).save(tmp_path / "img" / f"{i}.png")
+            recs.append({"fpath_img": f"img/{i}.jpg",
+                         "fpath_segm": f"img/{i}.png",
+                         "width": w, "height": h})
+
+        for pad, rate in [(8, 8), (32, 4), (16, 8), (8, 4), (32, 8)]:
+            for bucket in [0, pad, 3 * pad, 64]:
+                opt = _cfg.DATASET.clone()
+                opt.imgSizes = (48, 72, 100)
+                opt.imgMaxSize = 200
+                opt.padding_constant = pad
+                opt.segm_downsampling_rate = rate
+                ds = TrainDataset(
+                    str(tmp_path), recs, opt, batch_per_gpu=3, seed=i,
+                    bucket_step=bucket or None,
+                )
+                lattice = ds.bucket_step
+                assert lattice % pad == 0
+                for _ in range(4):
+                    b = ds.next_batch()
+                    n, bh, bw, _ = b["img_data"].shape
+                    assert bh % lattice == 0 and bw % lattice == 0, (bh, bw)
+                    assert b["seg_label"].shape == (n, bh // rate, bw // rate)
+                    assert b["seg_label"].min() >= -1
+                    assert b["seg_label"].max() <= 149
+        # Non-dividing rate is rejected loudly, not corrupted silently.
+        opt = _cfg.DATASET.clone()
+        opt.padding_constant = 12
+        opt.segm_downsampling_rate = 8
+        with pytest.raises(AssertionError):
+            TrainDataset(str(tmp_path), recs, opt, batch_per_gpu=2)
