@@ -217,3 +217,46 @@ def test_ori_canvas_rounds_up_to_lattice(model_and_vars):
     from semseg_tpu.data.transforms import round2nearest_multiple
     assert round2nearest_multiple(990, 64) <= eng.ori_canvas[0]
     assert round2nearest_multiple(1490, 64) <= eng.ori_canvas[1]
+
+
+def test_level_plan_matches_dataset_over_random_shapes():
+    """Fuzz: DevicePyramidEngine.level_plan must agree with ValDataset's
+    multi_scale_pyramid shapes for EVERY (image size, imgSizes, max size,
+    bucket, padding_constant) — they are two implementations of one
+    lattice contract, and any divergence makes the device-pyramid and
+    host-pyramid paths score different programs."""
+    from semseg_tpu.data.dataset import BaseDataset, _effective_lattice
+
+    rng = np.random.RandomState(11)
+    for _ in range(60):
+        h = int(rng.randint(37, 900))
+        w = int(rng.randint(37, 900))
+        pad = int(rng.choice([8, 16, 32]))
+        bucket = int(rng.choice([0, 8, 16, 24, 32, 48, 64]))
+        n_scales = int(rng.randint(1, 5))
+        sizes = tuple(sorted(int(rng.randint(64, 640)) for _ in range(n_scales)))
+        max_size = int(rng.randint(max(sizes), 1200))
+
+        opt = cfg.DATASET.clone()
+        opt.imgSizes = sizes
+        opt.imgMaxSize = max_size
+        opt.padding_constant = pad
+
+        ds = BaseDataset(
+            [{"fpath_img": "x", "fpath_segm": "y", "width": w, "height": h}],
+            opt, bucket_step=bucket or None,
+        )
+        img = Image.fromarray(np.zeros((h, w, 3), np.uint8))
+        host_shapes = [a.shape[1:3] for a in ds.multi_scale_pyramid(img, raw=True)]
+
+        eng = DevicePyramidEngine.__new__(DevicePyramidEngine)
+        eng.img_sizes = sizes
+        eng.img_max_size = max_size
+        # same constructor rule as InferenceEngine.__init__
+        eng.bucket_step = _effective_lattice(max(bucket, pad), pad)
+        plan = eng.level_plan(h, w)
+        assert plan == host_shapes, (
+            (h, w, pad, bucket, sizes, max_size), plan, host_shapes
+        )
+        for ph, pw in plan:
+            assert ph % pad == 0 and pw % pad == 0
