@@ -11,8 +11,12 @@ Two measurements, one JSON line:
   (reference README.md:117-120). Timing EXCLUDES host pyramid construction,
   exactly like the reference's meter (eval.py:56-78 brackets H2D + forwards
   + scoring only, with pyramids built in dataloader workers).
-* **single-scale** (extra key): one forward per image at the canonical 450
-  short side, batch 4. Baseline: 8.3 fps (README.md:113-116).
+* **single-scale** (extra key): chained model forwards at 448x608 (the
+  canonical 450-short-side bucket), batch 16 — the measured
+  throughput-optimal batch (PERF_NOTES "Batch scaling, inference"), NOT
+  the reference's per-image batch-1 protocol. Baseline: 8.3 fps
+  (README.md:113-116); the ratio is a model-forward speedup, the MS
+  number above is the protocol-level comparison.
 
 Timing rule for the axon-tunneled TPU: dispatch-loop wall time lies
 (block_until_ready returns early). Single-scale chains forwards inside one
@@ -33,8 +37,9 @@ import jax.numpy as jnp
 BASELINE_MS_FPS = 2.6  # r50dilated+ppm_deepsup, 5-scale TTA, Titan Xp
 BASELINE_SS_FPS = 8.3  # same model, single-scale
 
-# Modal ADE20K val image shape (576x768 landscape, the most common aspect);
-# its 5-scale pyramid at the throughput lattice (bucket 32).
+# Representative ADE20K val shape: landscape 3:4 aspect (the dominant
+# orientation), scaled into the eval regime as (512, 683); its 5-scale
+# pyramid rides the throughput lattice (bucket 32).
 ORI_SHAPE = (512, 683)
 N_IMAGES = 16
 MS_BUCKET = 32
@@ -235,23 +240,31 @@ def main():
     else:
         import traceback
 
-        ms_fps = bench_ms_protocol(cfg_node, model, variables)
-        # A broken sub-bench must not kill the headline line, but it must be
-        # LOUD: the JSON marks which sub-bench failed and stderr carries the
-        # traceback (silently-missing keys read as "ran clean").
+        # A broken sub-bench must not kill the run (the single-scale
+        # number above is already banked, and the fallback JSON branch
+        # below reports it), but it must be LOUD: the JSON carries each
+        # failed sub-bench's exception line and stderr the traceback
+        # (silently-missing keys read as "ran clean").
         errors = {}
-        try:
-            dp_fps = bench_ms_device_pyramid(cfg_node, model, variables)
-        except Exception:
-            dp_fps = None
-            errors["device_pyramid"] = traceback.format_exc(limit=3).strip()
-            traceback.print_exc(file=sys.stderr)
-        try:
-            train_fps = bench_train(cfg_node, model, variables)
-        except Exception:
-            train_fps = None
-            errors["train"] = traceback.format_exc(limit=3).strip()
-            traceback.print_exc(file=sys.stderr)
+
+        def guarded(name, fn):
+            try:
+                return fn()
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                traceback.print_exc(file=sys.stderr)
+                return None
+
+        ms_fps = guarded(
+            "ms_protocol", lambda: bench_ms_protocol(cfg_node, model, variables)
+        )
+        dp_fps = guarded(
+            "device_pyramid",
+            lambda: bench_ms_device_pyramid(cfg_node, model, variables),
+        )
+        train_fps = guarded(
+            "train", lambda: bench_train(cfg_node, model, variables)
+        )
 
     if ms_fps is not None:
         out = {
@@ -275,7 +288,7 @@ def main():
         if train_fps is not None:
             out["train_img_per_s_bs8"] = round(train_fps, 1)
         if errors:
-            out["sub_bench_errors"] = sorted(errors)
+            out["sub_bench_errors"] = errors
     else:
         out = {
             "metric": "resnet50dilated+ppm_deepsup single-scale inference",
@@ -283,6 +296,12 @@ def main():
             "unit": "images/sec/chip",
             "vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
         }
+        if dp_fps is not None:
+            out["ms_device_pyramid_fps"] = round(dp_fps, 2)
+        if train_fps is not None:
+            out["train_img_per_s_bs8"] = round(train_fps, 1)
+        if errors:
+            out["sub_bench_errors"] = errors
     print(json.dumps(out))
 
 

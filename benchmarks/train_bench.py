@@ -88,18 +88,21 @@ def main():
 
             rng = np.random.RandomState(0)
             ds = c.DATASET.segm_downsampling_rate
-            img = jnp.asarray(rng.randn(batch, h, w, 3), jnp.float32)
-            lab = jnp.asarray(
-                rng.randint(-1, 150, (batch, h // ds, w // ds)), jnp.int32
-            )
-            key = jax.random.PRNGKey(0)
-            batch_d = {"img_data": img, "seg_label": lab}
+            # Build on the HOST, reshape (stack_microbatches is host-side),
+            # then upload ONCE — uploading first would bounce the whole
+            # batch device->host->device over the slow tunneled link.
+            batch_d = {
+                "img_data": rng.randn(batch, h, w, 3).astype(np.float32),
+                "seg_label": rng.randint(
+                    -1, 150, (batch, h // ds, w // ds)
+                ).astype(np.int32),
+            }
             if accum > 1:
                 from semseg_tpu.parallel.train_step import stack_microbatches
 
-                batch_d = jax.tree.map(
-                    jnp.asarray, stack_microbatches(batch_d, accum)
-                )
+                batch_d = stack_microbatches(batch_d, accum)
+            batch_d = jax.tree.map(jnp.asarray, batch_d)
+            key = jax.random.PRNGKey(0)
 
             try:
                 # AOT-compile once; cost_analysis gives the exact FLOPs of
