@@ -187,3 +187,17 @@ def test_train_loop_raises_on_nonfinite_loss():
             step_fn, object(), iter([{}]), None, c, 0, history,
             logging.getLogger("Logger"),
         )
+
+
+def test_eval_multipro_gpus_flag_translates(mini, tmp_path_factory):
+    """Reference CLI form `eval_multipro.py --gpus 0-1` must map the device
+    LIST to a device count (the list only sized the worker pool there too)."""
+    out = run_cli(
+        "eval_multipro.py", "--gpus", "0-1", *COMMON,
+        "DIR", str(tmp_path_factory.mktemp("nockpt")),
+        "DATASET.root_dataset", str(mini),
+        "DATASET.list_val", str(mini / "val.odgt"),
+        "MODEL.weights_encoder", "", "MODEL.weights_decoder", "",
+        "VAL.checkpoint", "",
+    )
+    assert "Evaluation Done!" in out
