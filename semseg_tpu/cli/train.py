@@ -139,7 +139,9 @@ def main(argv=None):
     parser.add_argument(
         "--devices", type=int, default=0, help="data-parallel devices (0 = all)"
     )
-    parser.add_argument("--gpus", default=None, help="accepted for reference CLI parity")
+    parser.add_argument("--gpus", default=None,
+                        help="reference CLI parity: device list sizes the "
+                             "data-parallel axis (--devices overrides)")
     parser.add_argument("--profile", default="",
                         help="capture a JAX profiler trace of the first "
                              "steps of epoch 1 into this directory")
@@ -148,6 +150,14 @@ def main(argv=None):
                              "host on a TPU pod slice)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
+
+    if args.gpus and not args.devices:
+        # Reference CLI form `--gpus 0-3`: the list sized DataParallel
+        # there (train.py:184-189); here it sizes the data axis. Explicit
+        # --devices / TPU.data_parallel win.
+        from semseg_tpu.utils import parse_devices
+
+        args.devices = len(parse_devices(args.gpus))
 
     cfg.merge_from_file(args.cfg)
     if args.opts:

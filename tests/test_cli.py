@@ -201,3 +201,20 @@ def test_eval_multipro_gpus_flag_translates(mini, tmp_path_factory):
         "VAL.checkpoint", "",
     )
     assert "Evaluation Done!" in out
+
+
+def test_train_gpus_flag_sizes_data_axis(mini, tmp_path_factory):
+    """`train.py --gpus 0-1` must give 2-way data parallelism like the
+    reference, not silently use every visible device."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_gpus"))
+    out = run_cli(
+        "train.py", "--gpus", "0-1", *COMMON,
+        "DIR", ckpt,
+        "DATASET.root_dataset", str(mini),
+        "DATASET.list_train", str(mini / "train.odgt"),
+        "TRAIN.num_epoch", "1", "TRAIN.epoch_iters", "1",
+        "TRAIN.disp_iter", "1", "TRAIN.batch_size_per_gpu", "1",
+        "TRAIN.workers", "1",
+    )
+    assert "Mesh: 2 device(s)" in out, out[-2000:]
+    assert "Training Done!" in out
