@@ -108,11 +108,11 @@ class SegmentationModule:
     def _train_fwd_fn(self):
         @jax.jit
         def run(variables, img, label, dropout_key):
-            (loss, acc), _ = self.model.apply(
+            (loss, acc), mutated = self.model.apply(
                 variables, img, seg_label=label, train=True,
                 mutable=["batch_stats"], rngs={"dropout": dropout_key},
             )
-            return loss, acc
+            return loss, acc, mutated
 
         return run
 
@@ -122,6 +122,14 @@ class SegmentationModule:
             return self._infer_fn(self.variables, img, tuple(segSize))
         key = jax.random.fold_in(self._dropout_base, self._fwd_count)
         self._fwd_count += 1
-        return self._train_fwd_fn(
+        loss, acc, mutated = self._train_fwd_fn(
             self.variables, img, feed_dict["seg_label"], key
         )
+        # The reference module updates BN running stats on every training
+        # forward (mit_semseg/lib/nn/modules/batchnorm.py:49-54); mirror that
+        # by folding the mutated collection back into the held variables.
+        # Under fix_bn the norm layers run in inference mode, so `mutated`
+        # comes back unchanged and this is a no-op.
+        if "batch_stats" in mutated:
+            self.variables = {**self.variables, "batch_stats": mutated["batch_stats"]}
+        return loss, acc

@@ -616,6 +616,49 @@ class TestReviewRegressions:
         losses = {float(mod(feed)[0]) for _ in range(4)}
         assert len(losses) > 1, "identical dropout mask on every forward"
 
+    def test_module_training_forward_updates_running_stats(self, setup, rng):
+        """The wrapper's training forward must fold the mutated batch_stats
+        back into its held variables (the reference updates running stats on
+        every train forward, mit_semseg/lib/nn/modules/batchnorm.py:49-54) —
+        round-2 VERDICT found the wrapper silently discarding them."""
+        from semseg_tpu.models.segmentation import SegmentationModule
+
+        c, model, state = setup
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        mod = SegmentationModule(model, variables, seed=0)
+        batch = make_batch(rng)
+        feed = {"img_data": jnp.asarray(batch["img_data"]),
+                "seg_label": jnp.asarray(batch["seg_label"])}
+        mod(feed)
+
+        # Oracle: one mutable apply with the identical dropout key the
+        # wrapper used for its first forward (fold_in(base, 0)). jitted so
+        # the comparison is same-compilation (eager reduction order differs
+        # enough to blur near-zero running means).
+        key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+
+        @jax.jit
+        def oracle(variables, img, label, key):
+            return model.apply(
+                variables, img, seg_label=label, train=True,
+                mutable=["batch_stats"], rngs={"dropout": key},
+            )
+
+        _, mutated = oracle(variables, feed["img_data"], feed["seg_label"], key)
+        expect = jax.tree.leaves(mutated["batch_stats"])
+        got = jax.tree.leaves(mod.variables["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        changed = sum(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(before, got)
+        )
+        assert changed > 0, "wrapper forward left running stats untouched"
+        for e, g in zip(expect, got):
+            # jit-vs-eager fusion noise only (measured max ~6e-7 abs).
+            np.testing.assert_allclose(
+                np.asarray(e), np.asarray(g), rtol=1e-4, atol=1e-5
+            )
+
     def test_upernet_validates_fpn_inplanes(self):
         """fpn_inplanes is a declared contract with the encoder's pyramid;
         a mismatched pyramid must fail loudly, not silently train a
