@@ -33,14 +33,17 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
-from ref_eval_harness import _install_shims, REF_ROOT  # noqa: E402
+from ref_eval_harness import (  # noqa: E402
+    REF_ROOT,
+    _build_reference_modules,
+    _install_shims,
+)
 
 _install_shims()
 if REF_ROOT not in sys.path:
     sys.path.insert(0, REF_ROOT)
 
 from mit_semseg.models import models as ref_models  # noqa: E402
-from mit_semseg.models import resnet as ref_resnet  # noqa: E402
 from mit_semseg.lib.nn.modules import batchnorm as ref_bn  # noqa: E402
 
 from semseg_tpu.config import cfg  # noqa: E402
@@ -93,8 +96,13 @@ def _force_syncbn_parallel(module):
 
 CASES = [
     # (enc_arch, dec_arch, fc_dim, deep_sup, segm_downsampling_rate)
-    ("resnet18dilated", "c1_deepsup", 512, 0.4, 8),
-    ("resnet18", "upernet_lite", 512, None, 4),
+    # — one per gradient-path family (reference train.py:20-71 semantics):
+    ("resnet18dilated", "c1_deepsup", 512, 0.4, 8),      # dilated resnet
+    ("resnet18", "upernet_lite", 512, None, 4),          # FPN fusion
+    # depthwise + ReLU6 grads (reference mobilenet.py:38-76)
+    ("mobilenetv2dilated", "c1_deepsup", 320, 0.4, 8),
+    # multi-branch fusion grads + BN momentum 0.1 (reference hrnet.py:105-250)
+    ("hrnetv2", "c1", 720, None, 4),
 ]
 
 
@@ -106,19 +114,7 @@ def run_case(case_idx: int, steps: int = 2):
     from mit_semseg.config import cfg as ref_cfg_global
 
     # ---- reference model (double precision) -------------------------------
-    base = getattr(ref_resnet, enc_arch.replace("dilated", ""))(pretrained=False)
-    if enc_arch.endswith("dilated"):
-        enc = ref_models.ResnetDilated(base, dilate_scale=8)
-    else:
-        enc = ref_models.Resnet(base)
-    dec_cls = {
-        "c1_deepsup": lambda **kw: ref_models.C1DeepSup(**kw),
-        "upernet_lite": lambda **kw: ref_models.UPerNet(
-            fpn_dim=256, fpn_inplanes=(64, 128, 256, 512), **kw
-        ),
-    }[dec_arch]
-    dec = dec_cls(num_class=150, fc_dim=fc_dim, use_softmax=False)
-    dec.apply(ref_models.ModelBuilder.weights_init)
+    enc, dec = _build_reference_modules(enc_arch, dec_arch, fc_dim, 150)
     enc = enc.double()
     dec = dec.double()
     crit = torch.nn.NLLLoss(ignore_index=-1)
