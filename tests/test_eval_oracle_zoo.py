@@ -45,12 +45,23 @@ SIZES = [(197, 263), (263, 197), (224, 224)]
 # (config/ade20k-*.yaml:8-9). HRNetV2-W48 runs a single TTA scale over 3
 # images: its torch-CPU reference eval costs ~40 s/image/scale, and the
 # in-depth multi-scale protocol is already oracled by test_eval_oracle.py —
-# this case exists to cover HRNet's stride-4 / padding-32 geometry.
+# this case exists to cover HRNet's stride-4 / padding-32 geometry. The
+# deep torch-CPU encoders (resnet101 at dilation 8, grouped resnext101)
+# likewise run one scale over 3 images — the geometry/converter coverage
+# is the point, not the TTA protocol.
 CASES = [
     ("mobilenetv2dilated", "c1_deepsup", 320, 8, 8, (144, 208), 6),
     ("resnet50dilated", "ppm_deepsup", 2048, 8, 8, (144, 208), 6),
     ("hrnetv2", "c1", 720, 4, 32, (144,), 3),
     ("resnet18", "upernet_lite", 512, 4, 32, (144, 208), 6),
+    # resnext101: the grouped-conv converter path (reference
+    # mit_semseg/models/resnext.py:23-59), plain Resnet wrapper → stride 32.
+    ("resnext101", "c1", 2048, 32, 32, (144,), 3),
+    # resnet101dilated: the 23-block layer3 key mapping (README.md:122-129).
+    ("resnet101dilated", "ppm_deepsup", 2048, 8, 8, (144,), 3),
+    # resnet50+upernet: the fpn_dim-512 UPerNet shipped as UperNet50
+    # (reference models.py:143-149, README.md:130-147).
+    ("resnet50", "upernet", 2048, 4, 32, (144, 208), 4),
 ]
 
 
@@ -89,9 +100,13 @@ def test_zoo_exact_matches_reference(valset, tmp_path, enc_arch, dec_arch,
         with open(odgt, "w") as f:
             f.write("\n".join(lines) + "\n")
 
+    # Stride-32 geometries (plain-Resnet encoders + c1) see only a 3x4
+    # label grid at the default 96x128 crop — too coarse to train a
+    # non-vacuous eval model; give them 4x the pixels (6x8 labels).
+    train_hw = (192, 256) if rate == 32 else (96, 128)
     enc, dec, train_acc = train_reference_model(
         enc_arch, dec_arch, fc_dim, root=root, n_images=6, steps=120,
-        downsample=rate,
+        downsample=rate, train_hw=train_hw,
     )
     assert train_acc > 0.5, train_acc
 
