@@ -265,7 +265,7 @@ def main():
     cfg_node, model, variables = build_model()
     ss_fps = bench_single_scale(model, variables)
     if os.environ.get("SEMSEG_BENCH_FAST"):
-        ms = train_fps = dp = ms_parity = None
+        ms = train_fps = dp = ms_parity = ms_parity16 = None
         errors = {}
     else:
         import traceback
@@ -302,6 +302,7 @@ def main():
         # (304, 400), see PERF_NOTES "step-8 lattice worker fault" —
         # crashes the experimental axon TPU worker, and a dead worker
         # poisons every later dispatch in this process.
+        ms_parity16 = None  # step 16 hits the same fault: 304x400 is 16-aligned
         ms_parity = guarded(
             "ms_parity_lattice",
             lambda: bench_ms_protocol(
@@ -328,6 +329,9 @@ def main():
         if ms_parity is not None:
             out["ms_parity_lattice_fps"] = round(ms_parity[0], 2)
             out["ms_parity_lattice_fps_median"] = round(ms_parity[1], 2)
+        if ms_parity16 is not None:
+            out["ms_lattice16_fps"] = round(ms_parity16[0], 2)
+            out["ms_lattice16_fps_median"] = round(ms_parity16[1], 2)
         if dp_fps is not None and dp_fps > ms_fps:
             # device-derived pyramids (one original upload per image) are
             # the deployment fast path; report the better MS number as the
