@@ -218,7 +218,8 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
 
 def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                   fetch_dtype=None, device_pyramid=False,
-                  batch_explicit=True):
+                  batch_explicit=True, bucket_denylist="auto",
+                  pack_buckets=False):
     from semseg_tpu.data.dataset import _effective_lattice
 
     # The engine's grouping lattice must equal the dataset's resize lattice
@@ -263,6 +264,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                 exact=exact,
                 fetch_dtype=fetch_dtype,
                 spatial_mesh=make_mesh(spatial),
+                bucket_denylist=bucket_denylist,
             )
         ]
     devices = jax.devices()[: max(1, num_devices)]
@@ -276,6 +278,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
             padding_constant=cfg.DATASET.padding_constant,
             exact=exact,
             fetch_dtype=fetch_dtype,
+            bucket_denylist=bucket_denylist,
         )
         if device_pyramid and batch > 1 and not exact:
             from semseg_tpu.engine import DevicePyramidEngine
@@ -285,6 +288,7 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
                     model, dev_vars, batch_size=batch,
                     img_sizes=cfg.DATASET.imgSizes,
                     img_max_size=cfg.DATASET.imgMaxSize,
+                    pack_buckets=pack_buckets,
                     **kw,
                 )
             )
@@ -292,7 +296,10 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
             from semseg_tpu.engine import BatchedInferenceEngine
 
             engines.append(
-                BatchedInferenceEngine(model, dev_vars, batch_size=batch, **kw)
+                BatchedInferenceEngine(
+                    model, dev_vars, batch_size=batch,
+                    pack_buckets=pack_buckets, **kw,
+                )
             )
         else:
             engines.append(InferenceEngine(model, dev_vars, **kw))
@@ -318,6 +325,15 @@ def main(argv=None):
                         help="override TPU.eval_bucket_step: 8 = reference-"
                              "protocol-exact (default), 16/32 = fewer "
                              "compiled shapes at ~4e-4/1.2e-3 mIoU drift")
+    parser.add_argument("--bucket-denylist", default="auto",
+                        help="forward bucket shapes to route to the next "
+                             "lattice point: 'auto' (per-backend known-"
+                             "faulty shapes, e.g. 304x400 on the axon "
+                             "stack), 'none', or 'HxW[,HxW...]'")
+    parser.add_argument("--pack-buckets", action="store_true",
+                        help="throughput: fold under-filled bucket batches "
+                             "into larger buckets (cost-model-driven; adds "
+                             "pad-border drift like a coarser --bucket-step)")
     parser.add_argument("--device-pyramid", action="store_true",
                         help="derive every pyramid scale ON DEVICE from the "
                              "original image (one upload per image, ~5.7x "
@@ -375,11 +391,22 @@ def main(argv=None):
             "--device-pyramid ignored (requires --batch > 1, no --exact, "
             "no --spatial, and VAL.visualize False)"
         )
+    if args.bucket_denylist == "auto":
+        denylist = "auto"
+    elif args.bucket_denylist in ("none", ""):
+        denylist = ()
+    else:
+        denylist = tuple(
+            tuple(int(v) for v in s.split("x"))
+            for s in args.bucket_denylist.split(",")
+        )
     engines = build_engines(
         cfg, args.devices, exact=args.exact, spatial=args.spatial,
         batch=batch, batch_explicit=batch_explicit,
         fetch_dtype=None if args.exact else args.fetch_dtype,
         device_pyramid=device_pyramid,
+        bucket_denylist=denylist,
+        pack_buckets=args.pack_buckets,
     )
 
     dataset = ValDataset(

@@ -86,6 +86,28 @@ def _host_resize_bilinear(x: np.ndarray, size) -> np.ndarray:
     return out
 
 
+# Bucket shapes whose compiled forward is known to CRASH a platform's
+# runtime (PERF_NOTES "Step-8 lattice worker fault"): the experimental
+# axon TPU stack kernel-faults on flagship bf16 batch-4 programs in a
+# neighborhood around (304, 400), mapped by subprocess bisection
+# (tools/fault_probe.py). Tasks whose lattice bucket lands on a
+# denylisted shape are routed to the next non-denylisted lattice point
+# instead of compiling the faulty program; the valid-region mask is
+# unchanged, so the only numerical effect is a slightly wider zero-pad
+# border on those tasks (the same drift mechanism as a coarser bucket
+# step, PARITY.md).
+AXON_FAULT_BUCKETS = frozenset({(304, 400), (304, 408)})
+
+
+def default_bucket_denylist():
+    """Known-faulty forward bucket shapes for the current backend."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # backend unreachable — caller will fail later anyway
+        return frozenset()
+    return AXON_FAULT_BUCKETS if platform == "axon" else frozenset()
+
+
 class InferenceEngine:
     """Caches jit-compiled forwards per bucket shape."""
 
@@ -101,6 +123,7 @@ class InferenceEngine:
         exact: bool = False,
         spatial_mesh=None,
         fetch_dtype=None,
+        bucket_denylist="auto",
     ):
         from semseg_tpu.data.dataset import _effective_lattice
 
@@ -117,6 +140,14 @@ class InferenceEngine:
             max(bucket_step or 0, padding_constant), padding_constant
         )
         self.exact = exact
+        # Faulty-shape routing: forward buckets the platform's runtime is
+        # known to miscompile ("auto" = the per-backend default above) are
+        # bumped to the next lattice point by _bucket_key.
+        if isinstance(bucket_denylist, str) and bucket_denylist == "auto":
+            bucket_denylist = default_bucket_denylist()
+        self.bucket_denylist = frozenset(
+            (int(h), int(w)) for (h, w) in (bucket_denylist or ())
+        )
         # Device→host logits dtype: 'bfloat16' halves the D2H transfer (the
         # bottleneck on tunneled/remote device links) at ~1e-3 probability
         # cost; None keeps float32.
@@ -143,6 +174,19 @@ class InferenceEngine:
                 devs = leaves[0].devices()
                 if len(devs) == 1:
                     (self.device,) = devs
+
+    def _bucket_key(self, h: int, w: int):
+        """Lattice bucket for an (h, w) task, routed around denylisted
+        forward shapes. The bump direction minimizes the added padded area
+        (growing H by one step adds step*W pixels and vice versa)."""
+        ph = _round_up(h, self.bucket_step)
+        pw = _round_up(w, self.bucket_step)
+        while (ph, pw) in self.bucket_denylist:
+            if pw <= ph:
+                ph += self.bucket_step
+            else:
+                pw += self.bucket_step
+        return ph, pw
 
     def _on_device(self):
         import contextlib
@@ -225,7 +269,7 @@ class InferenceEngine:
         pending = []
         for img in pyramid:
             h, w = img.shape[1], img.shape[2]
-            ph, pw = _round_up(h, self.bucket_step), _round_up(w, self.bucket_step)
+            ph, pw = self._bucket_key(h, w)
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
             dev_img = self._put(img)
@@ -276,10 +320,17 @@ class BatchedInferenceEngine(InferenceEngine):
     """
 
     def __init__(self, *args, batch_size: int = 4, postproc_workers: int = 8,
-                 canvas_budget_mb: int = 4096, **kw):
+                 canvas_budget_mb: int = 4096, pack_buckets: bool = False,
+                 **kw):
         super().__init__(*args, **kw)
         self.batch_size = batch_size
         self.postproc_workers = postproc_workers
+        # Throughput knob: fold under-filled bucket groups into larger
+        # buckets when the cost model (padded-batch area) says the fill
+        # gain beats the extra padding. Off by default — the wider pad
+        # border adds conv-bleed drift beyond the bucket lattice's own,
+        # so parity runs keep exact lattice grouping.
+        self.pack_buckets = pack_buckets
         # Upper bound on simultaneously-live per-image f32 score canvases.
         # Without it, a caller chunk of 32 canvas-limit images would pin
         # 32 x ~1 GB on a 16 GB chip (each image's levels are spread across
@@ -383,17 +434,55 @@ class BatchedInferenceEngine(InferenceEngine):
 
         return run
 
-    @staticmethod
-    def _group_by_bucket(items, bucket_step):
-        """Group (item, level) tasks by padded bucket shape."""
+    def _group_by_bucket(self, items):
+        """Group (item, level) tasks by padded bucket shape (fault-routed)."""
         groups: dict = {}
         for i, pyramid in enumerate(items):
             for arr in pyramid:
                 assert arr.dtype == np.uint8, "batched engine needs raw uint8"
                 h, w = arr.shape[1], arr.shape[2]
-                groups.setdefault(
-                    (_round_up(h, bucket_step), _round_up(w, bucket_step)), []
-                ).append((i, arr, h, w))
+                groups.setdefault(self._bucket_key(h, w), []).append(
+                    (i, arr, h, w)
+                )
+        return self._pack_groups(groups)
+
+    def _pack_groups(self, groups):
+        """Fold under-filled bucket groups into LARGER buckets when the
+        batch-fill gain beats the extra padded area.
+
+        A padded chunk always computes ``batch_size`` images worth of the
+        bucket's area, so a group of n tasks at bucket (h, w) costs
+        ``ceil(n/B) * h * w`` area-batches. Greedy smallest-area-first:
+        fold a group into whichever covering bucket (both dims >=) lowers
+        total cost the most. Real-val-distribution motivation: at bucket
+        step 32 the 5-scale protocol leaves ~3.3 of 4 slots filled
+        (PERF_NOTES "distribution-honesty update"), so sibling buckets
+        with spare slots are common. Tasks keep their own valid (h, w)
+        masks, so folding only widens the zero-pad border (the coarser-
+        lattice drift mechanism, PARITY.md), and also shrinks the
+        compiled-program inventory.
+        """
+        if not self.pack_buckets or len(groups) <= 1:
+            return groups
+        B = self.batch_size
+
+        def cost(key, n):
+            return -(-n // B) * key[0] * key[1]
+
+        for k in sorted(groups, key=lambda k: k[0] * k[1]):
+            if k not in groups:
+                continue
+            n_k = len(groups[k])
+            best, best_delta = None, 0
+            for k2 in groups:
+                if k2 == k or k2[0] < k[0] or k2[1] < k[1]:
+                    continue
+                n2 = len(groups[k2])
+                delta = cost(k2, n2 + n_k) - cost(k2, n2) - cost(k, n_k)
+                if delta < best_delta:
+                    best, best_delta = k2, delta
+            if best is not None:
+                groups[best].extend(groups.pop(k))
         return groups
 
     def _forward_host_chunk(self, key, padded_chunk, *, to_fetch=False):
@@ -445,12 +534,14 @@ class BatchedInferenceEngine(InferenceEngine):
                     h, w = hws[j]
                     H, W = seg_sizes[item_idx]
                     if item_idx not in accs:
+                        # _bucket_key (not bare rounding): the canvas shape
+                        # also selects the accum/argmax/metrics programs, so
+                        # it must dodge denylisted shapes too. Exact: canvas
+                        # padding is masked out of the accumulate and void
+                        # (255) in the label, so a larger canvas counts
+                        # nothing extra.
                         accs[item_idx] = self._zeros(
-                            (
-                                _round_up(H, self.bucket_step),
-                                _round_up(W, self.bucket_step),
-                                self.num_class,
-                            ),
+                            (*self._bucket_key(H, W), self.num_class),
                             jnp.float32,
                         )
                     accs[item_idx] = self._accum_fn(
@@ -467,12 +558,8 @@ class BatchedInferenceEngine(InferenceEngine):
         under ``canvas_budget_bytes`` (every window holds >= 1 item)."""
         windows, cur, cur_bytes = [], [], 0
         for i in item_indices:
-            H, W = seg_sizes[i]
-            b = (
-                _round_up(H, self.bucket_step)
-                * _round_up(W, self.bucket_step)
-                * self.num_class * 4
-            )
+            ch, cw = self._bucket_key(*seg_sizes[i])
+            b = ch * cw * self.num_class * 4
             if cur and cur_bytes + b > self.canvas_budget_bytes:
                 windows.append(cur)
                 cur, cur_bytes = [], 0
@@ -516,8 +603,7 @@ class BatchedInferenceEngine(InferenceEngine):
                 [
                     items[i] if i in in_window else []
                     for i in range(len(items))
-                ],
-                self.bucket_step,
+                ]
             )
             out.update(
                 self._accumulate_on_device(
@@ -580,7 +666,7 @@ class BatchedInferenceEngine(InferenceEngine):
         if device_postproc:
             return self._device_postproc_predict(items, seg_sizes)
 
-        groups = self._group_by_bucket(items, self.bucket_step)
+        groups = self._group_by_bucket(items)
 
         # Host-postproc path: per-image score canvases on the host.
         accs = [
@@ -791,11 +877,8 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 padded[:h, :w] = ori
                 canvases[i] = self._embed_fn(self._put(padded))
                 H, W = seg_sizes[i]
-                lab = np.full(
-                    (_round_up(H, self.bucket_step),
-                     _round_up(W, self.bucket_step)),
-                    255, np.uint8,
-                )
+                # Shape must match the accumulate canvas (_bucket_key).
+                lab = np.full(self._bucket_key(H, W), 255, np.uint8)
                 lab[:H, :W] = np.where(
                     labels[i] < 0, 255, labels[i]
                 ).astype(np.uint8)
@@ -834,10 +917,10 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             groups: dict = {}
             for i in window:
                 for (th, tw) in plans[i]:
-                    groups.setdefault(
-                        (_round_up(th, self.bucket_step),
-                         _round_up(tw, self.bucket_step)), []
-                    ).append((i, th, tw))
+                    groups.setdefault(self._bucket_key(th, tw), []).append(
+                        (i, th, tw)
+                    )
+            groups = self._pack_groups(groups)
             out.update(
                 self._accumulate_on_device(
                     seg_sizes, groups, {i: len(plans[i]) for i in window},
