@@ -306,6 +306,67 @@ def build_engines(cfg, num_devices=1, exact=False, spatial=0, batch=0,
     return engines
 
 
+def _heal_or_raise(exc, engines, batch, args, logger, argv=None):
+    """Self-healing on device-worker crashes ("learn once, never crash
+    twice"): attribute the crash to the engines' suspect buckets (the
+    fresh shapes dispatched since their last verified fetch) via
+    subprocess probes, persist confirmed faults to the per-backend
+    registry, and restart this CLI in place — the restarted run's
+    ``bucket_denylist='auto'`` engines route around the learned shapes.
+    Anything that is not a worker crash, or exhausting --max-heal
+    attempts, re-raises.
+    """
+    import sys
+
+    from semseg_tpu.utils import fault_registry
+
+    attempt = int(os.environ.get("SEMSEG_HEAL_ATTEMPT", "0"))
+    if attempt >= args.max_heal or not fault_registry.is_worker_crash(exc):
+        raise exc
+    suspects: list = []
+    for eng in engines:
+        for k in eng.suspect_buckets():
+            if k not in suspects:
+                suspects.append(k)
+    platform = engines[0].device.platform if engines[0].device else (
+        jax.devices()[0].platform
+    )
+    logger.error(
+        f"device worker crashed ({exc}); probing {len(suspects)} suspect "
+        f"bucket shapes in subprocesses (heal attempt {attempt + 1}/"
+        f"{args.max_heal})"
+    )
+    if suspects:
+        from semseg_tpu import probing
+
+        spec = {
+            "arch_encoder": cfg.MODEL.arch_encoder,
+            "arch_decoder": cfg.MODEL.arch_decoder,
+            "fc_dim": cfg.MODEL.fc_dim,
+            "dtype": cfg.TPU.compute_dtype,
+            "batch": batch,
+        }
+        faulty, _clean = probing.probe_shapes(
+            suspects, spec, log=logger.info
+        )
+        if faulty:
+            path = fault_registry.record(
+                faulty, platform, {"source": "eval-self-heal", **spec}
+            )
+            logger.error(
+                f"learned faulty shapes "
+                f"{','.join(f'{h}x{w}' for h, w in faulty)} -> {path}"
+            )
+    logger.error("restarting evaluation with the learned fault registry")
+    os.environ["SEMSEG_HEAL_ATTEMPT"] = str(attempt + 1)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    restart = (
+        [sys.argv[0]] + list(argv) if argv is not None else sys.argv
+    )
+    os.execv(sys.executable, [sys.executable] + restart)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="semseg_tpu evaluation")
     parser.add_argument("--cfg", default="config/ade20k-resnet50dilated-ppm_deepsup.yaml")
@@ -325,6 +386,12 @@ def main(argv=None):
                         help="override TPU.eval_bucket_step: 8 = reference-"
                              "protocol-exact (default), 16/32 = fewer "
                              "compiled shapes at ~4e-4/1.2e-3 mIoU drift")
+    parser.add_argument("--max-heal", type=int, default=2,
+                        help="on a device-worker crash: probe the suspect "
+                             "bucket shapes in subprocesses, persist "
+                             "confirmed faults to the per-backend registry, "
+                             "and restart the run routing around them — up "
+                             "to this many times (0 = fail immediately)")
     parser.add_argument("--bucket-denylist", default="auto",
                         help="forward bucket shapes to route to the next "
                              "lattice point: 'auto' (per-backend known-"
@@ -424,14 +491,18 @@ def main(argv=None):
         end_idx=args.end_idx,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
-    *_, raw = evaluate(
-        engines,
-        loader,
-        cfg,
-        logger,
-        visualize=cfg.VAL.visualize,
-        vis_dir=os.path.join(cfg.DIR, "result"),
-    )
+    try:
+        *_, raw = evaluate(
+            engines,
+            loader,
+            cfg,
+            logger,
+            visualize=cfg.VAL.visualize,
+            vis_dir=os.path.join(cfg.DIR, "result"),
+        )
+    except Exception as e:
+        _heal_or_raise(e, engines, batch, args, logger, argv)
+        return  # unreachable: _heal_or_raise re-execs or raises
     if args.metrics_out:
         np.savez(args.metrics_out, **raw)
         logger.info(f"Wrote raw metric sums to {args.metrics_out}")

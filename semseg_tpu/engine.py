@@ -95,17 +95,26 @@ def _host_resize_bilinear(x: np.ndarray, size) -> np.ndarray:
 # instead of compiling the faulty program; the valid-region mask is
 # unchanged, so the only numerical effect is a slightly wider zero-pad
 # border on those tasks (the same drift mechanism as a coarser bucket
-# step, PARITY.md).
-AXON_FAULT_BUCKETS = frozenset({(304, 400), (304, 408)})
+# step, PARITY.md). The family is irregular — (304, 432) and (320, 416)
+# probe clean between the faulty points — so beyond this statically-
+# probed set, shapes learned at runtime are merged in from the
+# persistent fault registry (utils/fault_registry.py).
+AXON_FAULT_BUCKETS = frozenset({
+    (304, 400), (304, 408), (304, 416), (312, 400), (320, 400), (336, 432),
+})
 
 
 def default_bucket_denylist():
-    """Known-faulty forward bucket shapes for the current backend."""
+    """Known-faulty forward bucket shapes for the current backend:
+    the statically-probed set plus this host's learned registry."""
+    from semseg_tpu.utils import fault_registry
+
     try:
         platform = jax.devices()[0].platform
     except Exception:  # backend unreachable — caller will fail later anyway
         return frozenset()
-    return AXON_FAULT_BUCKETS if platform == "axon" else frozenset()
+    static = AXON_FAULT_BUCKETS if platform == "axon" else frozenset()
+    return static | fault_registry.known_buckets(platform)
 
 
 class InferenceEngine:
@@ -167,6 +176,9 @@ class InferenceEngine:
         # jnp.asarray/zeros go to the global default, so multi-device eval
         # would stage every canvas and input through device 0 (HBM
         # pressure there + an extra copy hop per upload).
+        # Crash-attribution state (see _note_dispatch below).
+        self._pending_buckets: list = []
+        self._verified_buckets: set = set()
         self.device = None
         if spatial_mesh is None:
             leaves = jax.tree.leaves(self.variables)
@@ -174,6 +186,29 @@ class InferenceEngine:
                 devs = leaves[0].devices()
                 if len(devs) == 1:
                     (self.device,) = devs
+
+    # -- crash attribution ---------------------------------------------------
+    # Deterministic faults mean: any bucket that ever completed a verified
+    # fetch is clean for this (model, dtype, batch); after a worker crash
+    # the suspects are exactly the buckets dispatched since the last
+    # verified fetch minus the known-clean set. cli/eval.py's self-healing
+    # probes those suspects (semseg_tpu.probing) and records confirmed
+    # faults in the persistent registry.
+    def _note_dispatch(self, key):
+        if key not in self._pending_buckets:
+            self._pending_buckets.append(key)
+
+    def _mark_verified(self):
+        self._verified_buckets.update(self._pending_buckets)
+        self._pending_buckets.clear()
+
+    def suspect_buckets(self):
+        """Buckets dispatched since the last verified fetch, excluding
+        ones that ever completed successfully (ordered by dispatch)."""
+        return [
+            k for k in self._pending_buckets
+            if k not in self._verified_buckets
+        ]
 
     def _bucket_key(self, h: int, w: int):
         """Lattice bucket for an (h, w) task, routed around denylisted
@@ -270,6 +305,7 @@ class InferenceEngine:
         for img in pyramid:
             h, w = img.shape[1], img.shape[2]
             ph, pw = self._bucket_key(h, w)
+            self._note_dispatch((ph, pw))
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
             dev_img = self._put(img)
@@ -285,6 +321,7 @@ class InferenceEngine:
         for logits, h, w in pending:
             acc += self._postprocess(np.asarray(logits[0]), h, w, seg_size)
         acc /= len(pyramid)
+        self._mark_verified()
         return acc
 
     def _postprocess(self, logits, h, w, seg_size):
@@ -492,6 +529,7 @@ class BatchedInferenceEngine(InferenceEngine):
         post-processing) — narrow them to ``fetch_dtype`` on device.
         """
         ph, pw = key
+        self._note_dispatch(key)
         batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
         hs = np.zeros(self.batch_size, np.int32)
         ws = np.zeros(self.batch_size, np.int32)
@@ -588,7 +626,9 @@ class BatchedInferenceEngine(InferenceEngine):
         out = self._windowed_accumulate(
             items, seg_sizes, self._metrics_finalizer(seg_sizes, labels)
         )
-        return self._fetch_packed_metrics(out, len(items))
+        res = self._fetch_packed_metrics(out, len(items))
+        self._mark_verified()
+        return res
 
     def _windowed_accumulate(self, items, seg_sizes, finalize):
         """Canvas-budget-windowed driver over host pyramids: group each
@@ -642,12 +682,14 @@ class BatchedInferenceEngine(InferenceEngine):
         preds = self._windowed_accumulate(
             items, seg_sizes, lambda _i, acc: self._argmax_fn(acc)
         )
-        return [
+        res = [
             np.asarray(preds[i])[: seg_sizes[i][0], : seg_sizes[i][1]].astype(
                 np.int64
             )
             for i in range(len(items))
         ]
+        self._mark_verified()
+        return res
 
     def batched_predict(self, items, seg_sizes, *, device_postproc=True):
         """Predict class maps for a list of multi-scale pyramids.
@@ -707,6 +749,7 @@ class BatchedInferenceEngine(InferenceEngine):
                 item_idx, scores = fut.result()
                 accs[item_idx] += scores
 
+        self._mark_verified()
         return [
             (accs[i] / counts[i]).argmax(-1) for i in range(n_items)
         ]
@@ -886,6 +929,7 @@ class DevicePyramidEngine(BatchedInferenceEngine):
 
         def forward_chunk(key, padded_chunk):
             lh, lw = key
+            self._note_dispatch(key)
             cvs = jnp.stack([canvases[i] for (i, _, _) in padded_chunk])
             ohs = self._put(
                 [originals[i].shape[0] for (i, _, _) in padded_chunk],
@@ -962,4 +1006,6 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                     if k + 1 < len(windows):
                         fut = uploader.submit(upload_window, windows[k + 1])
                     process_window(window)
-        return self._fetch_packed_metrics(out, len(originals))
+        res = self._fetch_packed_metrics(out, len(originals))
+        self._mark_verified()
+        return res

@@ -110,13 +110,15 @@ def main():
     logger = logging.getLogger("parity")
     logger.setLevel(logging.ERROR)
 
-    def run_ours(name, *, exact, batch=0, fetch_dtype=None, bucket=None):
+    def run_ours(name, *, exact, batch=0, fetch_dtype=None, bucket=None,
+                 pack=False):
         t0 = time.time()
         # Engine grouping lattice and dataset resize lattice must agree so
         # bucket-by-resize inputs are never additionally padded.
         c.TPU.eval_bucket_step = bucket or 16
         engines = build_engines(
-            c, 1, exact=exact, batch=batch, fetch_dtype=fetch_dtype
+            c, 1, exact=exact, batch=batch, fetch_dtype=fetch_dtype,
+            pack_buckets=pack,
         )
         ds = ValDataset(
             root, odgt, c.DATASET,
@@ -144,6 +146,13 @@ def main():
              bucket=32)
     run_ours("batched(4) step=16 device-metrics", exact=False, batch=4,
              fetch_dtype="bfloat16", bucket=16)
+    # --pack-buckets folds under-filled bucket batches into covering
+    # buckets (engine._pack_groups): the wider pad borders add drift on
+    # top of the lattice's own — quantified here, reported in PARITY.md.
+    run_ours("batched(4) step=8 packed", exact=False, batch=4,
+             fetch_dtype="bfloat16", bucket=8, pack=True)
+    run_ours("batched(4) step=32 packed", exact=False, batch=4,
+             fetch_dtype="bfloat16", bucket=32, pack=True)
 
 
 if __name__ == "__main__":
