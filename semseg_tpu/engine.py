@@ -43,23 +43,9 @@ import jax.numpy as jnp
 from semseg_tpu.data.transforms import round2nearest_multiple as _round_up  # noqa: E402
 
 
-def _resize_matrix(out_pad: int, in_pad: int, out_valid, in_valid):
-    """Dense bilinear interpolation matrix with DYNAMIC valid sizes.
-
-    Shapes are static (padded canvases) while the actual sizes are runtime
-    scalars, so ONE compiled program serves every image in a bucket pair.
-    Half-pixel-center sampling with edge clamping — identical math to
-    ``F.interpolate(align_corners=False)`` / cv2 INTER_LINEAR. The matmul
-    against this matrix rides the MXU.
-    """
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_pad, in_pad), 0)
-    k = jax.lax.broadcasted_iota(jnp.float32, (out_pad, in_pad), 1)
-    out_valid = jnp.asarray(out_valid, jnp.float32)
-    in_valid = jnp.asarray(in_valid, jnp.float32)
-    src = (i + 0.5) * (in_valid / out_valid) - 0.5
-    src = jnp.clip(src, 0.0, in_valid - 1.0)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - k))
-    return jnp.where(k < in_valid, w, 0.0)
+# Dynamic-valid-size bilinear matrix (shared with the decoders' pad-
+# aware pooling); see ops/resize_dynamic.py for the semantics.
+from semseg_tpu.ops.resize_dynamic import resize_matrix as _resize_matrix  # noqa: E402
 
 
 def _host_resize_bilinear(x: np.ndarray, size) -> np.ndarray:
@@ -100,7 +86,11 @@ def _host_resize_bilinear(x: np.ndarray, size) -> np.ndarray:
 # probed set, shapes learned at runtime are merged in from the
 # persistent fault registry (utils/fault_registry.py).
 AXON_FAULT_BUCKETS = frozenset({
-    (304, 400), (304, 408), (304, 416), (312, 400), (320, 400), (336, 432),
+    # H=304 row: the faulty band is W in [392, 424]; 384/432/440/448
+    # probed clean ((304, 424)'s verdict had possible dead-worker
+    # pollution and was re-confirmed in a clean re-probe).
+    (304, 392), (304, 400), (304, 408), (304, 416), (304, 424),
+    (312, 400), (320, 400), (336, 432),
 })
 
 
@@ -133,6 +123,7 @@ class InferenceEngine:
         spatial_mesh=None,
         fetch_dtype=None,
         bucket_denylist="auto",
+        pad_aware_pool: bool = True,
     ):
         from semseg_tpu.data.dataset import _effective_lattice
 
@@ -157,6 +148,12 @@ class InferenceEngine:
         self.bucket_denylist = frozenset(
             (int(h), int(w)) for (h, w) in (bucket_denylist or ())
         )
+        # Pass per-sample valid extents into the model so pooling decoders
+        # (PPM/UPerNet) pool the valid region EXACTLY instead of ingesting
+        # the bucket's zero padding (ops/resize_dynamic.py); measured at up
+        # to 2e-2 pixel-accuracy on small images through the global pool
+        # (PARITY.md "pad-bleed"). Off reproduces the padded-pool behavior.
+        self.pad_aware_pool = pad_aware_pool
         # Device→host logits dtype: 'bfloat16' halves the D2H transfer (the
         # bottleneck on tunneled/remote device links) at ~1e-3 probability
         # cost; None keeps float32.
@@ -245,8 +242,14 @@ class InferenceEngine:
     @functools.cached_property
     def _logits_fn(self):
         @jax.jit
-        def run(variables, img):
-            out = self.model.apply(variables, img, seg_size=None, train=False)
+        def run(variables, img, h, w):
+            valid_hw = (
+                jnp.stack([jnp.asarray(h), jnp.asarray(w)])[None, :]
+                if self.pad_aware_pool else None
+            )
+            out = self.model.apply(
+                variables, img, seg_size=None, train=False, valid_hw=valid_hw
+            )
             return out.astype(self.fetch_dtype)
 
         return run
@@ -262,7 +265,13 @@ class InferenceEngine:
         @jax.jit
         def run(variables, img_u8, h, w):
             x = normalize_u8_masked(img_u8, h, w)
-            out = self.model.apply(variables, x, seg_size=None, train=False)
+            valid_hw = (
+                jnp.stack([jnp.asarray(h), jnp.asarray(w)])[None, :]
+                if self.pad_aware_pool else None
+            )
+            out = self.model.apply(
+                variables, x, seg_size=None, train=False, valid_hw=valid_hw
+            )
             return out.astype(self.fetch_dtype)
 
         return run
@@ -314,7 +323,7 @@ class InferenceEngine:
             if img.dtype == np.uint8:
                 logits = self._logits_raw_fn(self.variables, dev_img, h, w)
             else:
-                logits = self._logits_fn(self.variables, dev_img)
+                logits = self._logits_fn(self.variables, dev_img, h, w)
             pending.append((logits, h, w))
 
         # Phase 2: fetch + host resize/softmax per scale.
@@ -358,7 +367,8 @@ class BatchedInferenceEngine(InferenceEngine):
 
     def __init__(self, *args, batch_size: int = 4, postproc_workers: int = 8,
                  canvas_budget_mb: int = 4096, pack_buckets: bool = False,
-                 **kw):
+                 pack_max_area_ratio: float = 1.3,
+                 pack_max_pad_px: int = 32, **kw):
         super().__init__(*args, **kw)
         self.batch_size = batch_size
         self.postproc_workers = postproc_workers
@@ -368,6 +378,18 @@ class BatchedInferenceEngine(InferenceEngine):
         # border adds conv-bleed drift beyond the bucket lattice's own,
         # so parity runs keep exact lattice grouping.
         self.pack_buckets = pack_buckets
+        # Accuracy guards: never fold into a bucket more than
+        # ``pack_max_area_ratio`` larger, NOR one adding more than
+        # ``pack_max_pad_px`` zero-pad per dimension. Uncapped folds
+        # measured catastrophic (0.4 per-class IoU swings) even though
+        # the FLOP model approved them — pad cost is invisible to it.
+        # pad_aware_pool removes the global-pool term, but conv-border
+        # bleed scales with ABSOLUTE pad width (the encoder's receptive
+        # field is fixed in pixels), hence the per-dimension cap: an
+        # area-only cap still allowed ~96 px folds at coarse lattices
+        # and measured 2.6e-2 accuracy drift (PARITY.md packed rows).
+        self.pack_max_area_ratio = pack_max_area_ratio
+        self.pack_max_pad_px = pack_max_pad_px
         # Upper bound on simultaneously-live per-image f32 score canvases.
         # Without it, a caller chunk of 32 canvas-limit images would pin
         # 32 x ~1 GB on a 16 GB chip (each image's levels are spread across
@@ -383,7 +405,12 @@ class BatchedInferenceEngine(InferenceEngine):
         @functools.partial(jax.jit, static_argnums=(4,))
         def run(variables, img_u8, hs, ws, to_fetch=False):
             x = normalize_u8_masked(img_u8, hs, ws)
-            out = self.model.apply(variables, x, seg_size=None, train=False)
+            valid_hw = (
+                jnp.stack([hs, ws], axis=-1) if self.pad_aware_pool else None
+            )
+            out = self.model.apply(
+                variables, x, seg_size=None, train=False, valid_hw=valid_hw
+            )
             # fetch_dtype narrows the device→host transfer; the on-device
             # metric paths (to_fetch=False) never transfer logits, so they
             # keep full precision instead of paying a pointless bf16 trip.
@@ -506,6 +533,8 @@ class BatchedInferenceEngine(InferenceEngine):
         def cost(key, n):
             return -(-n // B) * key[0] * key[1]
 
+        max_ratio = self.pack_max_area_ratio
+        max_pad = self.pack_max_pad_px
         for k in sorted(groups, key=lambda k: k[0] * k[1]):
             if k not in groups:
                 continue
@@ -513,6 +542,10 @@ class BatchedInferenceEngine(InferenceEngine):
             best, best_delta = None, 0
             for k2 in groups:
                 if k2 == k or k2[0] < k[0] or k2[1] < k[1]:
+                    continue
+                if k2[0] * k2[1] > max_ratio * k[0] * k[1]:
+                    continue
+                if k2[0] - k[0] > max_pad or k2[1] - k[1] > max_pad:
                     continue
                 n2 = len(groups[k2])
                 delta = cost(k2, n2 + n_k) - cost(k2, n2) - cost(k, n_k)
@@ -866,7 +899,10 @@ class DevicePyramidEngine(BatchedInferenceEngine):
             x = jax.vmap(one)(canvases, ohs, ows, ths, tws)
             # Consumed only by the on-device accumulator — keep full
             # precision (fetch_dtype is for logits that cross the link).
-            return self.model.apply(variables, x, seg_size=None, train=False)
+            return self.model.apply(
+                variables, x, seg_size=None, train=False,
+                valid_hw=ths_tws if self.pad_aware_pool else None,
+            )
 
         return run
 

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import ConvBN, Dropout2d
-from semseg_tpu.ops import adaptive_avg_pool2d, resize_bilinear
+from semseg_tpu.ops import (
+    adaptive_avg_pool2d,
+    adaptive_avg_pool2d_valid,
+    resize_bilinear,
+    upsample_grid_valid,
+)
 from semseg_tpu.ops.dtypes import acc_dtype
 
 # Decoder-wide init (ModelBuilder.weights_init).
@@ -77,7 +82,8 @@ class C1(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
-                 norm_train: Optional[bool] = None):
+                 norm_train: Optional[bool] = None, valid_hw=None):
+        del valid_hw  # no global ops: padding only bleeds conv-locally
         bn = train if norm_train is None else norm_train
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         x = _dec_cbr(self.fc_dim // 4, name="cbr", **kw)(conv_out[-1], train=bn)
@@ -97,7 +103,8 @@ class C1DeepSup(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
-                 norm_train: Optional[bool] = None):
+                 norm_train: Optional[bool] = None, valid_hw=None):
+        del valid_hw  # no global ops: padding only bleeds conv-locally
         # ``train`` selects the deep-supervision branch; ``norm_train``
         # (default: follow train) drives BN/dropout mode — they differ
         # under cfg.TRAIN.fix_bn, which trains with frozen statistics.
@@ -120,7 +127,15 @@ class C1DeepSup(nn.Module):
 
 
 class _PPMPool(nn.Module):
-    """One pyramid branch: adaptive pool → 1x1 conv-bn-relu → upsample."""
+    """One pyramid branch: adaptive pool → 1x1 conv-bn-relu → upsample.
+
+    ``valid`` (N, 2): per-sample true feature extents inside a padded
+    bucket canvas (engine.py). When given, the pool bins span the valid
+    region only and the pooled grid is upsampled back onto it — exactly
+    what the reference computes on the unpadded map — instead of
+    ingesting the zero padding (measured at up to 2e-2 pixel-accuracy
+    loss through this global pool, PARITY.md "pad-bleed").
+    """
 
     scale: int
     out_ch: int = 512
@@ -128,14 +143,19 @@ class _PPMPool(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, valid=None):
         h, w = x.shape[1], x.shape[2]
-        p = adaptive_avg_pool2d(x, self.scale)
+        if valid is None:
+            p = adaptive_avg_pool2d(x, self.scale)
+        else:
+            p = adaptive_avg_pool2d_valid(x, self.scale, valid)
         p = ConvBN(
             self.out_ch, 1, act="relu", axis_name=self.axis_name, dtype=self.dtype,
             kernel_init=DEC_KERNEL_INIT, bn_bias_init=DEC_BN_BIAS_INIT, name="cbr",
         )(p, train=train)
-        return resize_bilinear(p, (h, w))
+        if valid is None:
+            return resize_bilinear(p, (h, w))
+        return upsample_grid_valid(p, (h, w), valid)
 
 
 class PPM(nn.Module):
@@ -147,12 +167,14 @@ class PPM(nn.Module):
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
-    def _trunk(self, conv5, bn):
+    def _trunk(self, conv5, bn, valid=None):
         kw = dict(axis_name=self.axis_name, dtype=self.dtype)
         pyramid = [conv5]
         for i, scale in enumerate(self.pool_scales):
             pyramid.append(
-                _PPMPool(scale, name=f"ppm_{i}", **kw)(conv5, train=bn)
+                _PPMPool(scale, name=f"ppm_{i}", **kw)(
+                    conv5, train=bn, valid=valid
+                )
             )
         x = jnp.concatenate(pyramid, axis=-1)
         x = _dec_cbr(512, name="conv_last_cbr", **kw)(x, train=bn)
@@ -161,8 +183,11 @@ class PPM(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
-                 norm_train: Optional[bool] = None):
-        x = self._trunk(conv_out[-1], train if norm_train is None else norm_train)
+                 norm_train: Optional[bool] = None, valid_hw=None):
+        x = self._trunk(
+            conv_out[-1], train if norm_train is None else norm_train,
+            valid=valid_hw[-1] if valid_hw is not None else None,
+        )
         if seg_size is not None:
             return _finish(x, seg_size)
         return x.astype(acc_dtype(x.dtype))
@@ -173,9 +198,12 @@ class PPMDeepsup(PPM):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
-                 norm_train: Optional[bool] = None):
+                 norm_train: Optional[bool] = None, valid_hw=None):
         bn = train if norm_train is None else norm_train
-        x = self._trunk(conv_out[-1], bn)
+        x = self._trunk(
+            conv_out[-1], bn,
+            valid=valid_hw[-1] if valid_hw is not None else None,
+        )
         if seg_size is not None:
             return _finish(x, seg_size)
         if not train:
@@ -208,7 +236,7 @@ class UPerNet(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, seg_size=None, *, train: bool = False,
-                 norm_train: Optional[bool] = None):
+                 norm_train: Optional[bool] = None, valid_hw=None):
         train = train if norm_train is None else norm_train  # BN-mode only head
         # Flax infers the lateral convs' input channels from conv_out, so
         # fpn_inplanes is a declared CONTRACT (reference UPerNet builds its
@@ -225,11 +253,22 @@ class UPerNet(nn.Module):
         conv5 = conv_out[-1]
         h, w = conv5.shape[1], conv5.shape[2]
 
-        # PPM: pool → upsample → 1x1 conv-bn-relu.
+        # PPM: pool → upsample → 1x1 conv-bn-relu. With padded bucket
+        # canvases (valid_hw from the eval engines) the pool bins and the
+        # grid upsample cover the valid extent only — the global-pool
+        # pad-bleed fix; the FPN's inter-level resizes below stay
+        # full-canvas (their valid-region misalignment is <= 1 feature
+        # pixel per level, conv-bleed class, vs the pool's global
+        # contamination).
+        valid5 = valid_hw[-1] if valid_hw is not None else None
         pyramid = [conv5]
         for i, scale in enumerate(self.pool_scales):
-            p = adaptive_avg_pool2d(conv5, scale)
-            p = resize_bilinear(p, (h, w))
+            if valid5 is None:
+                p = adaptive_avg_pool2d(conv5, scale)
+                p = resize_bilinear(p, (h, w))
+            else:
+                p = adaptive_avg_pool2d_valid(conv5, scale, valid5)
+                p = upsample_grid_valid(p, (h, w), valid5)
             p = ConvBN(
                 512, 1, act="relu", kernel_init=DEC_KERNEL_INIT,
                 bn_bias_init=DEC_BN_BIAS_INIT, name=f"ppm_conv_{i}", **kw,

@@ -40,7 +40,8 @@ class SegmentationModel(nn.Module):
     # the reference's `segmentation_module.train(not fix_bn)` (train.py:26).
     fix_bn: bool = False
 
-    def __call__(self, img, seg_label=None, seg_size=None, *, train: bool = False):
+    def __call__(self, img, seg_label=None, seg_size=None, *, train: bool = False,
+                 valid_hw=None):
         # fix_bn freezes BN statistics and dropout (the reference's
         # `segmentation_module.train(not fix_bn)`, train.py:26) but must NOT
         # turn off the training forward itself — the deep-supervision branch
@@ -52,8 +53,28 @@ class SegmentationModel(nn.Module):
             return self.decoder(feats, seg_size, train=False)
         if seg_label is None:
             # Logits-only inference (bucketed eval engine): raw logits at
-            # decoder resolution, no loss.
-            return self.decoder(feats, train=False)
+            # decoder resolution, no loss. ``valid_hw`` (N, 2 — per-sample
+            # true IMAGE pixels inside the padded bucket canvas) converts
+            # to per-feature-map extents here so pooling decoders can be
+            # padding-exact (ops/resize_dynamic.py); train/loss paths stay
+            # unmasked on purpose — the reference TRAINS on zero-padded
+            # batch canvases (dataset.py pads to the batch max), so masked
+            # training pooling would break train-step parity.
+            vh = None
+            if valid_hw is not None:
+                import jax.numpy as jnp
+
+                vh = [
+                    jnp.stack(
+                        [
+                            -(-valid_hw[:, 0] // (img.shape[1] // f.shape[1])),
+                            -(-valid_hw[:, 1] // (img.shape[2] // f.shape[2])),
+                        ],
+                        axis=-1,
+                    )
+                    for f in feats
+                ]
+            return self.decoder(feats, train=False, valid_hw=vh)
 
         out = self.decoder(feats, train=train, norm_train=norm_train)
         # Deepsup decoders return (logits, deepsup_logits) only when the

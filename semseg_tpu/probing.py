@@ -76,18 +76,20 @@ def wait_worker_recovery(spec, *, canaries=10, sleep_s=30, log=print):
 
 
 def probe_shapes(shapes, spec, *, stage="forward", log=print,
-                 assume_crashed=True):
+                 assume_crashed=True, timeout=420):
     """Classify ``shapes`` into (faulty, clean) for the given program spec.
 
     ``assume_crashed``: the caller just observed a crash — wait for the
     worker to come back before the first probe. After every CRASH
-    verdict, wait again so the next probe isn't poisoned.
+    verdict, wait again so the next probe isn't poisoned. Raise
+    ``timeout`` on heavily-loaded hosts: a fresh-shape compile starved
+    of CPU can overrun it and be misread as a fault.
     """
     faulty, clean = [], []
     if assume_crashed and shapes:
         wait_worker_recovery(spec, log=log)
     for shape in shapes:
-        ok, detail = _run_child(shape, spec, stage=stage)
+        ok, detail = _run_child(shape, spec, stage=stage, timeout=timeout)
         log(f"  probe {shape[0]}x{shape[1]}: {'OK' if ok else 'CRASH'}"
             + (f" ({detail})" if not ok and detail else ""))
         (clean if ok else faulty).append(tuple(shape))

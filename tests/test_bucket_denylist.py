@@ -33,7 +33,7 @@ class _PointwiseNet(nn.Module):
     num_class: int = 150
 
     @nn.compact
-    def __call__(self, x, seg_size=None, train=False):
+    def __call__(self, x, seg_size=None, train=False, valid_hw=None):
         x = nn.Conv(16, (1, 1))(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_class, (1, 1))(x)

@@ -27,6 +27,8 @@ class TestPackCostModel:
         # the large group's spare slot costs nothing extra.
         eng = _make(BatchedInferenceEngine, ())
         eng.pack_buckets, eng.batch_size = True, 4
+        eng.pack_max_area_ratio = float("inf")  # caps tested separately
+        eng.pack_max_pad_px = 1 << 30
         groups = eng._pack_groups(
             _groups_of(eng, [((96, 128), 1), ((304, 400), 3)])
         )
@@ -38,6 +40,8 @@ class TestPackCostModel:
         # would ADD a padded batch at the large area. Must not merge.
         eng = _make(BatchedInferenceEngine, ())
         eng.pack_buckets, eng.batch_size = True, 4
+        eng.pack_max_area_ratio = float("inf")  # caps tested separately
+        eng.pack_max_pad_px = 1 << 30
         groups = eng._pack_groups(
             _groups_of(eng, [((96, 128), 4), ((304, 400), 4)])
         )
@@ -48,6 +52,8 @@ class TestPackCostModel:
         # spare slot must not attract it.
         eng = _make(BatchedInferenceEngine, ())
         eng.pack_buckets, eng.batch_size = True, 4
+        eng.pack_max_area_ratio = float("inf")  # caps tested separately
+        eng.pack_max_pad_px = 1 << 30
         groups = eng._pack_groups(
             _groups_of(eng, [((96, 416), 1), ((304, 400), 3)])
         )
@@ -65,6 +71,8 @@ class TestPackCostModel:
         # lowers total cost.
         eng = _make(BatchedInferenceEngine, ())
         eng.pack_buckets, eng.batch_size = True, 4
+        eng.pack_max_area_ratio = float("inf")  # caps tested separately
+        eng.pack_max_pad_px = 1 << 30
         groups = eng._pack_groups(
             _groups_of(
                 eng, [((64, 64), 1), ((96, 128), 1), ((304, 400), 2)]
@@ -74,15 +82,39 @@ class TestPackCostModel:
         assert len(groups[(304, 400)]) == 4
 
 
+class TestPackCap:
+    def test_cap_blocks_distant_folds(self):
+        # Default cap 1.3: a 96x128 task must NOT fold into a bucket ~10x
+        # its area even with spare slots (pad cost is invisible to the
+        # FLOP model — the uncapped fold measured 0.4 per-class IoU
+        # swings, PARITY.md).
+        eng = _make(BatchedInferenceEngine, ())
+        eng.pack_buckets, eng.batch_size = True, 4
+        groups = eng._pack_groups(
+            _groups_of(eng, [((96, 128), 1), ((304, 400), 3)])
+        )
+        assert set(groups) == {(96, 128), (304, 400)}
+
+    def test_cap_allows_adjacent_folds(self):
+        # (288, 384) -> (304, 400) is a 1.10x area fold: allowed.
+        eng = _make(BatchedInferenceEngine, ())
+        eng.pack_buckets, eng.batch_size = True, 4
+        groups = eng._pack_groups(
+            _groups_of(eng, [((288, 384), 1), ((304, 400), 3)])
+        )
+        assert set(groups) == {(304, 400)}
+        assert len(groups[(304, 400)]) == 4
+
+
 class TestPackedResultsExact:
     def test_batched_metrics_unchanged_by_packing(self):
         rng = np.random.RandomState(0)
-        # Shapes chosen so packing actually triggers: the single 100x128
-        # level folds into the 304x400 group's spare slots.
+        # Shapes chosen so packing triggers UNDER the default area cap:
+        # the single (288, 384) level (1.10x) folds into (304, 400).
         pyrs = [
             [
                 rng.randint(0, 255, (1, 304, 400, 3)).astype(np.uint8),
-                rng.randint(0, 255, (1, 100, 128, 3)).astype(np.uint8),
+                rng.randint(0, 255, (1, 288, 384, 3)).astype(np.uint8),
             ],
             [rng.randint(0, 255, (1, 300, 396, 3)).astype(np.uint8)],
         ]

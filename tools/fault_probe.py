@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--record", action="store_true",
                     help="persist confirmed faults to the fault registry")
+    ap.add_argument("--timeout", type=int, default=420,
+                    help="per-probe subprocess timeout (raise on loaded "
+                         "hosts: a starved fresh-shape compile can overrun "
+                         "it and be misread as a fault)")
     args = ap.parse_args()
 
     spec = {
@@ -47,7 +51,8 @@ def main():
     }
     shapes = [tuple(int(v) for v in s.split("x")) for s in args.shapes]
     faulty, clean = probing.probe_shapes(
-        shapes, spec, stage=args.stage, assume_crashed=False
+        shapes, spec, stage=args.stage, assume_crashed=False,
+        timeout=args.timeout,
     )
     print("faulty:", ",".join(f"{h}x{w}" for h, w in faulty) or "none")
     print("clean:", ",".join(f"{h}x{w}" for h, w in clean) or "none")

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--arch", default="resnet18dilated")
     ap.add_argument("--decoder", default="ppm_deepsup")
     ap.add_argument("--fc-dim", type=int, default=512)
+    ap.add_argument("--rows", default="",
+                    help="comma-separated substrings: run only matching "
+                         "eval-mode rows (iterating on one mode skips the "
+                         "others; the torch train/eval steps always run)")
     args = ap.parse_args()
 
     import torch
@@ -110,8 +114,12 @@ def main():
     logger = logging.getLogger("parity")
     logger.setLevel(logging.ERROR)
 
+    row_filter = [s for s in args.rows.split(",") if s]
+
     def run_ours(name, *, exact, batch=0, fetch_dtype=None, bucket=None,
                  pack=False):
+        if row_filter and not any(s in name for s in row_filter):
+            return None
         t0 = time.time()
         # Engine grouping lattice and dataset resize lattice must agree so
         # bucket-by-resize inputs are never additionally padded.
