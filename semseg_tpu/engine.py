@@ -86,10 +86,10 @@ def _host_resize_bilinear(x: np.ndarray, size) -> np.ndarray:
 # probed set, shapes learned at runtime are merged in from the
 # persistent fault registry (utils/fault_registry.py).
 AXON_FAULT_BUCKETS = frozenset({
-    # H=304 row: the faulty band is W in [392, 424]; 384/432/440/448
-    # probed clean ((304, 424)'s verdict had possible dead-worker
-    # pollution and was re-confirmed in a clean re-probe).
-    (304, 392), (304, 400), (304, 408), (304, 416), (304, 424),
+    # H=304 row: the faulty band is W in {392, 400, 408, 416};
+    # 384/424/432/440/448 probed clean (an early CRASH verdict for
+    # (304, 424) was dead-worker pollution — a clean re-probe passed).
+    (304, 392), (304, 400), (304, 408), (304, 416),
     (312, 400), (320, 400), (336, 432),
 })
 
