@@ -234,6 +234,18 @@ class InferenceEngine:
         with self._on_device():
             return jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
 
+    def _put_tree(self, tree):
+        """ONE batched device_put over a whole pytree of host arrays.
+
+        On tunneled/high-latency transports each separate put is a link
+        round-trip; batching a window's uploads into a single transfer is
+        the same lever parallel/mesh.py:80-93 measured for train batches.
+        Leaves must already carry their final dtypes (no implicit casts).
+        """
+        if self.device is not None:
+            return jax.device_put(tree, self.device)
+        return jax.device_put(tree)
+
     def _zeros(self, shape, dtype):
         with self._on_device():
             return jnp.zeros(shape, dtype)
@@ -308,19 +320,26 @@ class InferenceEngine:
             acc /= len(pyramid)
             return acc
 
-        # Phase 1: dispatch every scale's forward (async) so device work for
-        # scale k overlaps the fetch/post-processing of scale k-1.
-        pending = []
+        # Phase 0: pad every scale on host, ship the whole pyramid in ONE
+        # batched device_put (a per-scale put is a link round-trip each).
+        padded, hws = [], []
         for img in pyramid:
             h, w = img.shape[1], img.shape[2]
             ph, pw = self._bucket_key(h, w)
-            self._note_dispatch((ph, pw))
             if (ph, pw) != (h, w):
                 img = np.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
-            dev_img = self._put(img)
+            padded.append(img)
+            hws.append((h, w))
+        dev_imgs = self._put_tree(padded)
+
+        # Phase 1: dispatch every scale's forward (async) so device work for
+        # scale k overlaps the fetch/post-processing of scale k-1.
+        pending = []
+        for dev_img, (h, w) in zip(dev_imgs, hws):
+            self._note_dispatch(tuple(dev_img.shape[1:3]))
             if self.spatial_mesh is not None:
                 dev_img = jax.device_put(dev_img, self._img_sharding)
-            if img.dtype == np.uint8:
+            if dev_img.dtype == jnp.uint8:
                 logits = self._logits_raw_fn(self.variables, dev_img, h, w)
             else:
                 logits = self._logits_fn(self.variables, dev_img, h, w)
@@ -570,8 +589,7 @@ class BatchedInferenceEngine(InferenceEngine):
             batch[j, :h, :w] = arr[0]
             hs[j], ws[j] = h, w
         dev_logits = self._batched_raw_fn(
-            self.variables, self._put(batch), self._put(hs),
-            self._put(ws), to_fetch,
+            self.variables, *self._put_tree((batch, hs, ws)), to_fetch,
         )
         return dev_logits, [(h, w) for (_, _, h, w) in padded_chunk]
 
@@ -656,21 +674,27 @@ class BatchedInferenceEngine(InferenceEngine):
         assert all(len(p) for p in items), "every item needs >= 1 level"
         seg_sizes = [lab.shape for lab in labels]
 
+        finalize, prepare_window = self._metrics_finalizer(seg_sizes, labels)
         out = self._windowed_accumulate(
-            items, seg_sizes, self._metrics_finalizer(seg_sizes, labels)
+            items, seg_sizes, finalize, prepare_window=prepare_window
         )
         res = self._fetch_packed_metrics(out, len(items))
         self._mark_verified()
         return res
 
-    def _windowed_accumulate(self, items, seg_sizes, finalize):
+    def _windowed_accumulate(self, items, seg_sizes, finalize,
+                             prepare_window=None):
         """Canvas-budget-windowed driver over host pyramids: group each
         window's levels by bucket, forward + accumulate, finalize per item.
         Windows bound live HBM because the device executes its stream in
         order — window k+1's canvas allocations run after window k's
-        finalizers, whose canvases are freed on their last consumer."""
+        finalizers, whose canvases are freed on their last consumer.
+        ``prepare_window(window)``: optional per-window hook (batched label
+        uploads) run before the window's forwards."""
         out: dict = {}
         for window in self._canvas_windows(seg_sizes, range(len(items))):
+            if prepare_window is not None:
+                prepare_window(window)
             in_window = set(window)
             groups = self._group_by_bucket(
                 [
@@ -688,15 +712,29 @@ class BatchedInferenceEngine(InferenceEngine):
         return out
 
     def _metrics_finalizer(self, seg_sizes, labels):
-        def finalize(item_idx, acc):
-            H, W = seg_sizes[item_idx]
-            lab = np.full(acc.shape[:2], 255, np.uint8)  # 255 = void (-1)
-            lab[:H, :W] = np.where(
-                labels[item_idx] < 0, 255, labels[item_idx]
-            ).astype(np.uint8)
-            return self._metrics_fn(acc, self._put(lab))
+        """Returns (finalize, prepare_window): each window's uint8 label
+        canvases go up in ONE batched device_put instead of one transfer
+        per image scattered through the run (a per-image round-trip on the
+        tunneled link was a measurable slice of the MS protocol)."""
+        dev_labels: dict = {}
 
-        return finalize
+        def prepare_window(window):
+            host = []
+            for i in window:
+                H, W = seg_sizes[i]
+                # 255 = void (-1); canvas shape matches the accum canvas.
+                lab = np.full(self._bucket_key(H, W), 255, np.uint8)
+                lab[:H, :W] = np.where(
+                    labels[i] < 0, 255, labels[i]
+                ).astype(np.uint8)
+                host.append(lab)
+            for i, d in zip(window, self._put_tree(host)):
+                dev_labels[i] = d
+
+        def finalize(item_idx, acc):
+            return self._metrics_fn(acc, dev_labels.pop(item_idx))
+
+        return finalize, prepare_window
 
     def _fetch_packed_metrics(self, out, n_items):
         """Stack every per-image metric vector and fetch in ONE transfer."""
@@ -943,9 +981,13 @@ class DevicePyramidEngine(BatchedInferenceEngine):
 
         def upload_window(idx_list):
             """One original (padded to the ori_step lattice) + one uint8
-            label canvas per image — enqueued from a worker thread so the
-            link transfers overlap the previous window's forwards (measured
-            ~47% of the protocol is otherwise a serial upload phase)."""
+            label canvas per image, shipped as ONE batched device_put per
+            window (_put_tree): per-image puts were 2 link round-trips per
+            image — the dominant cost of the otherwise-serial upload phase
+            (~47% of the protocol). Runs on a worker thread when
+            upload_pipeline overlaps it with the previous window's
+            forwards."""
+            host_oris, host_labs = [], []
             for i in idx_list:
                 ori = originals[i]
                 h, w = ori.shape[:2]
@@ -954,30 +996,35 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 obw = _round_up(w, self.ori_step)
                 padded = np.zeros((obh, obw, 3), np.uint8)
                 padded[:h, :w] = ori
-                canvases[i] = self._embed_fn(self._put(padded))
+                host_oris.append(padded)
                 H, W = seg_sizes[i]
                 # Shape must match the accumulate canvas (_bucket_key).
                 lab = np.full(self._bucket_key(H, W), 255, np.uint8)
                 lab[:H, :W] = np.where(
                     labels[i] < 0, 255, labels[i]
                 ).astype(np.uint8)
-                dev_labels[i] = self._put(lab)
+                host_labs.append(lab)
+            dev_oris, dev_labs = self._put_tree((host_oris, host_labs))
+            for i, d_ori, d_lab in zip(idx_list, dev_oris, dev_labs):
+                canvases[i] = self._embed_fn(d_ori)
+                dev_labels[i] = d_lab
 
         def forward_chunk(key, padded_chunk):
             lh, lw = key
             self._note_dispatch(key)
             cvs = jnp.stack([canvases[i] for (i, _, _) in padded_chunk])
-            ohs = self._put(
-                [originals[i].shape[0] for (i, _, _) in padded_chunk],
-                jnp.int32,
-            )
-            ows = self._put(
-                [originals[i].shape[1] for (i, _, _) in padded_chunk],
-                jnp.int32,
-            )
-            ths_tws = self._put(
-                [(th, tw) for (_, th, tw) in padded_chunk], jnp.int32
-            )
+            ohs, ows, ths_tws = self._put_tree((
+                np.asarray(
+                    [originals[i].shape[0] for (i, _, _) in padded_chunk],
+                    np.int32,
+                ),
+                np.asarray(
+                    [originals[i].shape[1] for (i, _, _) in padded_chunk],
+                    np.int32,
+                ),
+                np.asarray([(th, tw) for (_, th, tw) in padded_chunk],
+                           np.int32),
+            ))
             dev_logits = self._pyramid_level_fn(
                 self.variables, cvs, ohs, ows, ths_tws, lh, lw
             )
