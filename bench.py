@@ -163,7 +163,8 @@ def bench_ms_protocol(cfg_node, model, variables, *, bucket_step=MS_BUCKET,
 
 
 def bench_ms_device_pyramid(cfg_node, model, variables, *,
-                            pack_buckets=False):
+                            bucket_step=MS_BUCKET, reps=5,
+                            pack_buckets=False, batch_size=4):
     """5-scale TTA with DEVICE-derived pyramids: one original upload per
     image (~5.7x less H2D than host pyramids). odgt-sampled shapes."""
     from semseg_tpu.engine import DevicePyramidEngine
@@ -183,8 +184,8 @@ def bench_ms_device_pyramid(cfg_node, model, variables, *,
         variables,
         num_class=150,
         output_stride=cfg_node.DATASET.segm_downsampling_rate,
-        bucket_step=MS_BUCKET,
-        batch_size=4,
+        bucket_step=bucket_step,
+        batch_size=batch_size,
         fetch_dtype="bfloat16",
         img_sizes=cfg_node.DATASET.imgSizes,
         img_max_size=cfg_node.DATASET.imgMaxSize,
@@ -193,7 +194,7 @@ def bench_ms_device_pyramid(cfg_node, model, variables, *,
     _LAST_ENGINE[0] = engine
     engine.batched_metrics_from_originals(originals, labels)  # warmup
     times = []
-    for _ in range(5):  # the tunnel link drifts between minutes
+    for _ in range(reps):  # the tunnel link drifts between minutes
         t0 = time.perf_counter()
         out = engine.batched_metrics_from_originals(originals, labels)
         assert len(out) == N_IMAGES
@@ -274,7 +275,7 @@ def main():
     ss_fps = bench_single_scale(model, variables)
     if os.environ.get("SEMSEG_BENCH_FAST"):
         ms = train_fps = dp = ms_parity = ms_parity16 = None
-        ms_packed = dp_packed = None
+        ms_packed = dp_packed = ms_parity_dp = None
         errors = {}
     else:
         import traceback
@@ -324,10 +325,14 @@ def main():
             "device_pyramid",
             lambda: bench_ms_device_pyramid(cfg_node, model, variables),
         )
+        # Packed + batch 8: packing keeps larger batches filled, and the
+        # measured forward scaling (228 -> 251 img/s at bs4 -> bs8) carries
+        # into the protocol (round-4 A/B: 22.1 vs 19.9 img/s serial,
+        # bs8 vs bs4) — this is the deployment throughput configuration.
         dp_packed = guarded(
             "device_pyramid_packed",
             lambda: bench_ms_device_pyramid(
-                cfg_node, model, variables, pack_buckets=True
+                cfg_node, model, variables, pack_buckets=True, batch_size=8
             ),
         )
         train_fps = guarded(
@@ -343,6 +348,18 @@ def main():
         # poison every later dispatch in this process (the guarded()
         # handler then reports the suspect shapes for offline probing).
         ms_parity16 = None  # step 16: same family, routed too; not re-timed
+        # Device-derived pyramids at the PARITY lattice: oracle drift 8e-5
+        # mIoU at step 8 (PARITY.md), i.e. parity-grade accuracy at the
+        # deployment execution strategy — this is the honest answer to
+        # "what does the parity-settings protocol run at", with the
+        # host-pyramid protocol-verbatim number alongside.
+        ms_parity_dp = guarded(
+            "ms_parity_device_pyramid",
+            lambda: bench_ms_device_pyramid(
+                cfg_node, model, variables,
+                bucket_step=MS_PARITY_BUCKET, reps=3, pack_buckets=True,
+            ),
+        )
         ms_parity = guarded(
             "ms_parity_lattice",
             lambda: bench_ms_protocol(
@@ -386,6 +403,11 @@ def main():
         if ms_parity is not None:
             out["ms_parity_lattice_fps"] = round(ms_parity[0], 2)
             out["ms_parity_lattice_fps_median"] = round(ms_parity[1], 2)
+        if ms_parity_dp is not None:
+            out["ms_parity_device_pyramid_fps"] = round(ms_parity_dp[0], 2)
+            out["ms_parity_device_pyramid_fps_median"] = round(
+                ms_parity_dp[1], 2
+            )
         if ms_parity16 is not None:
             out["ms_lattice16_fps"] = round(ms_parity16[0], 2)
             out["ms_lattice16_fps_median"] = round(ms_parity16[1], 2)
@@ -400,7 +422,11 @@ def main():
         out["train_img_per_s_bs8"] = round(train_fps, 1)
     if errors:
         out["sub_bench_errors"] = errors
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    # Hard-exit: the axon tunnel / engine worker threads can hang interpreter
+    # teardown after the result is already printed (BENCH_r03 recorded
+    # rc=124 from exactly this), and nothing after this line matters.
+    os._exit(0)
 
 
 if __name__ == "__main__":
