@@ -42,13 +42,13 @@ def make_dataset(root, n=24):
     return odgt
 
 
-def bench(root, odgt, raw, batches=12, batch_per_gpu=2):
+def bench(root, odgt, raw, batches=12, batch_per_gpu=2, fast_decode=False):
     from semseg_tpu.config import cfg
     from semseg_tpu.data.dataset import TrainDataset
 
     ds = TrainDataset(
         root, odgt, cfg.clone().DATASET, batch_per_gpu=batch_per_gpu,
-        seed=0, bucket_step=64, raw_transport=raw,
+        seed=0, bucket_step=64, raw_transport=raw, fast_decode=fast_decode,
     )
     ds.next_batch()  # warm caches
     t0 = time.perf_counter()
@@ -65,11 +65,15 @@ def main():
         odgt = make_dataset(root)
         f32 = bench(root, odgt, raw=False)
         raw = bench(root, odgt, raw=True)
+        fast = bench(root, odgt, raw=True, fast_decode=True)
     print(json.dumps({
         "native_available": native.available(),
+        "native_jpeg": native.jpeg_available(),
         "f32_img_per_s_per_core": round(f32, 1),
         "raw_u8_img_per_s_per_core": round(raw, 1),
         "speedup": round(raw / f32, 2),
+        "fast_decode_img_per_s_per_core": round(fast, 1),
+        "fast_decode_speedup_vs_raw": round(fast / raw, 2),
     }))
 
 

@@ -233,6 +233,7 @@ def main(argv=None):
             seed=process_seed(cfg.TRAIN.seed, worker_seed),
             bucket_step=cfg.TPU.bucket_step,
             raw_transport=cfg.TPU.device_preproc,
+            fast_decode=cfg.TPU.train_fast_decode,
         ),
         num_workers=cfg.TRAIN.workers,
         prefetch=cfg.TPU.prefetch * 4,

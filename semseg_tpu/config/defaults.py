@@ -136,6 +136,16 @@ _C.TPU.prefetch = 2
 # host normalization within f32 rounding (XLA fuses the arithmetic; pad
 # stays zero in normalized space). False restores host-side f32 batches.
 _C.TPU.device_preproc = True
+# Train-time JPEG decode at a reduced DCT-domain scale (libjpeg
+# scale_num/8, the smallest scale that still covers the sample's target
+# size). Skips most of the IDCT + color-conversion host work for the
+# common downscale case, but the decoded pixels differ slightly from
+# full-decode-then-resize (it IS a cheaper resample), so this is an
+# opt-in throughput mode for host-bound training — NOT used at eval and
+# off by default for pixel-parity with the reference loader. Requires the
+# native library with libjpeg; silently falls back to exact decode
+# without it.
+_C.TPU.train_fast_decode = False
 # Rematerialize encoder blocks in the backward pass (jax.checkpoint):
 # trades ~30% step FLOPs for activation memory, enabling larger batches.
 _C.TPU.remat = False

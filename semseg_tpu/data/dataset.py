@@ -63,6 +63,30 @@ def _effective_lattice(bucket_step, padding_constant: int) -> int:
     return ((bucket_step - 1) // padding_constant + 1) * padding_constant
 
 
+def _decode_rgb(path: str) -> np.ndarray:
+    """Decode an image file to an RGB uint8 (H, W, 3) array.
+
+    JPEGs go through the native libjpeg path when its once-per-process
+    bit-equality oracle against PIL holds (native.decode_jpeg_verified —
+    measured 1.7x PIL on large images); everything else (PNG, oracle
+    mismatch, no native build) decodes with PIL. Output is identical
+    either way, so every consumer keeps reference parity.
+    """
+    if _native_ok() and path.lower().endswith((".jpg", ".jpeg")):
+        from semseg_tpu import native
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            out = native.decode_jpeg_verified(data)
+            if out is not None:
+                return out
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
 def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
     """Parse a .odgt manifest (one JSON record per line, dataset.py:38-51)."""
     if isinstance(odgt, list):
@@ -96,14 +120,17 @@ class BaseDataset:
         self.list_sample = parse_odgt(odgt, **kwargs)
         self.num_sample = len(self.list_sample)
 
-    def multi_scale_pyramid(self, img: Image.Image, *, raw: bool = False) -> List[np.ndarray]:
+    def multi_scale_pyramid(self, img, *, raw: bool = False) -> List[np.ndarray]:
         """Per-scale resized copies, each (1, H, W, 3).
 
+        ``img``: RGB uint8 array or PIL image. Resampling runs through the
+        native Pillow-bit-exact resizer when built (same pixels either way).
         ``raw=False``: normalized float32 (reference parity).
         ``raw=True``: uint8 — normalization happens on device inside the
         inference engine's jitted forward (4x smaller host→device transfer).
         """
-        ori_width, ori_height = img.size
+        arr = np.asarray(img, dtype=np.uint8)
+        ori_height, ori_width = arr.shape[:2]
         sizes = (
             self.imgSizes
             if isinstance(self.imgSizes, (list, tuple))
@@ -113,14 +140,26 @@ class BaseDataset:
         # UPerNet/HRNet configs pad to 32 (padding_constant), so a finer
         # requested bucket_step rounds up to it.
         rounding = _effective_lattice(self.eval_bucket_step, self.padding_constant)
+        use_native = _native_ok()
         out = []
         for short_size in sizes:
             scale = scale_for(ori_height, ori_width, short_size, self.imgMaxSize)
             target_h = round2nearest_multiple(int(ori_height * scale), rounding)
             target_w = round2nearest_multiple(int(ori_width * scale), rounding)
-            resized = imresize(img, (target_w, target_h), interp="bilinear")
+            if use_native:
+                from semseg_tpu import native
+
+                resized = native.resize_bilinear_u8(arr, (target_h, target_w))
+            else:
+                resized = np.asarray(
+                    imresize(
+                        Image.fromarray(arr), (target_w, target_h),
+                        interp="bilinear",
+                    ),
+                    dtype=np.uint8,
+                )
             if raw:
-                out.append(np.asarray(resized, dtype=np.uint8)[None])
+                out.append(resized[None])
             else:
                 out.append(img_transform(resized)[None])
         return out
@@ -137,6 +176,7 @@ class TrainDataset(BaseDataset):
         seed: int = 304,
         bucket_step: Optional[int] = None,
         raw_transport: bool = False,
+        fast_decode: bool = False,
         **kwargs,
     ):
         super().__init__(odgt, opt, **kwargs)
@@ -149,6 +189,11 @@ class TrainDataset(BaseDataset):
         # jitted train step (parallel/train_step.py), mirroring the eval
         # engine's uint8 device-preprocessing design.
         self.raw_transport = raw_transport
+        # fast_decode (cfg.TPU.train_fast_decode): decode JPEGs at the
+        # smallest libjpeg DCT-domain scale that still covers the target
+        # size. Cheaper host decode, slightly different pixels than
+        # full-decode-then-resize — train-only opt-in.
+        self.fast_decode = fast_decode
         # Round non-aligned steps up to the architecture lattice, exactly
         # like the eval path (_effective_lattice) — crashing on e.g.
         # bucket_step=48 with a padding_constant-32 config helps nobody.
@@ -191,6 +236,41 @@ class TrainDataset(BaseDataset):
                 self._bins[bin_idx].clear()
                 return batch
 
+    def _decode_native(self, img_path: str, h_i: int, w_i: int):
+        """libjpeg decode of one training image, or None (PIL fallback).
+
+        Full-resolution decode goes through ``decode_jpeg_verified`` — a
+        once-per-process bit-equality oracle against PIL (JPEG decode is
+        not spec-mandated bit-exact across libjpeg builds). With
+        ``fast_decode``, downscaled samples instead decode at the smallest
+        DCT-domain scale_num/8 that still covers (h_i, w_i), skipping most
+        IDCT + color-conversion work; the later Pillow-parity bilinear
+        resample still runs, just from a smaller (already band-limited)
+        source.
+        """
+        if not img_path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        from semseg_tpu import native
+
+        try:
+            with open(img_path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        if self.fast_decode:
+            dims = native.decode_jpeg_dims(data)
+            if dims is not None:
+                oh, ow = dims
+                # ceil(8 * needed_scale): decoded dims ceil(dim * M/8)
+                # then cover the target in both axes.
+                m = max(
+                    -(-8 * h_i // oh) if oh else 8,
+                    -(-8 * w_i // ow) if ow else 8,
+                )
+                if 1 <= m < 8:
+                    return native.decode_jpeg(data, scale_num=int(m))
+        return native.decode_jpeg_verified(data)
+
     def next_batch(self) -> dict:
         """Build one device batch: {'img_data': NHWC f32, 'seg_label': NHW i32}."""
         records = self._get_sub_batch()
@@ -222,38 +302,41 @@ class TrainDataset(BaseDataset):
 
         use_native = _native_ok()
         for i, rec in enumerate(records):
-            img = Image.open(
-                os.path.join(self.root_dataset, rec["fpath_img"])
-            ).convert("RGB")
-            segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
-            assert segm.mode == "L"
-            assert img.size == segm.size
-
+            img_path = os.path.join(self.root_dataset, rec["fpath_img"])
             flip = bool(self.rng.integers(2))
             h_i, w_i = int(heights[i]), int(widths[i])
 
             if use_native:
                 # Fused C++ path: bit-exact with the PIL path (Pillow
                 # fixed-point resampling reimplemented in
-                # semseg_tpu/native/preprocess.cpp), one pass each for
-                # resize+normalize and the label pipeline.
+                # semseg_tpu/native/preprocess.cpp) — libjpeg decode
+                # (process-oracle-verified bit-equal to PIL), one
+                # flip-fused pass each for resize+normalize and the label
+                # pipeline (no flipped-copy materialization).
                 from semseg_tpu import native
                 from .transforms import MEAN, STD
 
-                img_arr = np.asarray(img, np.uint8)
+                img_arr = self._decode_native(img_path, h_i, w_i)
+                if img_arr is None:
+                    img_arr = np.asarray(
+                        Image.open(img_path).convert("RGB"), np.uint8
+                    )
+                segm = Image.open(
+                    os.path.join(self.root_dataset, rec["fpath_segm"])
+                )
+                assert segm.mode == "L"
                 seg_arr = np.asarray(segm, np.uint8)
-                if flip:
-                    img_arr = img_arr[:, ::-1]
-                    seg_arr = seg_arr[:, ::-1]
                 if self.raw_transport:
                     images[i, :h_i, :w_i] = native.resize_bilinear_u8(
-                        img_arr, (h_i, w_i)
+                        img_arr, (h_i, w_i), flip=flip
                     )
                 else:
                     images[i, :h_i, :w_i] = native.preprocess(
-                        img_arr, (h_i, w_i), (h_i, w_i), MEAN, STD
+                        img_arr, (h_i, w_i), (h_i, w_i), MEAN, STD, flip=flip
                     )
-                seg_small = native.resize_nearest_u8(seg_arr, (h_i, w_i))
+                seg_small = native.resize_nearest_u8(
+                    seg_arr, (h_i, w_i), flip=flip
+                )
                 sr_h = round2nearest_multiple(h_i, rate)
                 sr_w = round2nearest_multiple(w_i, rate)
                 seg_pad = np.zeros((sr_h, sr_w), np.uint8)
@@ -263,6 +346,11 @@ class TrainDataset(BaseDataset):
                 ).astype(np.int32) - 1
                 segms[i, : lab.shape[0], : lab.shape[1]] = lab
                 continue
+
+            img = Image.open(img_path).convert("RGB")
+            segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
+            assert segm.mode == "L"
+            assert img.size == segm.size
 
             if flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -315,20 +403,18 @@ class ValDataset(BaseDataset):
 
     def __getitem__(self, index) -> dict:
         rec = self.list_sample[index]
-        img = Image.open(
-            os.path.join(self.root_dataset, rec["fpath_img"])
-        ).convert("RGB")
+        img = _decode_rgb(os.path.join(self.root_dataset, rec["fpath_img"]))
         segm = Image.open(os.path.join(self.root_dataset, rec["fpath_segm"]))
         assert segm.mode == "L"
-        assert img.size == segm.size
+        assert img.shape[:2] == (segm.size[1], segm.size[0])
 
         skip_pyramid = (
             self.device_pyramid_canvas is not None
-            and img.size[1] <= self.device_pyramid_canvas[0]
-            and img.size[0] <= self.device_pyramid_canvas[1]
+            and img.shape[0] <= self.device_pyramid_canvas[0]
+            and img.shape[1] <= self.device_pyramid_canvas[1]
         )
         return {
-            "img_ori": np.asarray(img),
+            "img_ori": img,
             "img_data": (
                 []
                 if skip_pyramid
@@ -351,9 +437,9 @@ class TestDataset(BaseDataset):
 
     def __getitem__(self, index) -> dict:
         rec = self.list_sample[index]
-        img = Image.open(rec["fpath_img"]).convert("RGB")
+        img = _decode_rgb(rec["fpath_img"])
         return {
-            "img_ori": np.asarray(img),
+            "img_ori": img,
             "img_data": self.multi_scale_pyramid(img, raw=self.device_preprocess),
             "info": rec["fpath_img"],
         }

@@ -2,7 +2,11 @@
 
 Build (one-time, also triggered lazily on import):
 
-    g++ -O3 -march=native -shared -fPIC preprocess.cpp -o libssgnative-<cpu-fingerprint>.so
+    g++ -O3 -march=native -shared -fPIC -DSSG_HAVE_JPEG=1 preprocess.cpp \
+        -ljpeg -o libssgnative-<cpu-fingerprint>.so
+
+(the -DSSG_HAVE_JPEG/-ljpeg pair is dropped automatically on hosts
+without libjpeg — every non-decode entry point still builds).
 
 All entry points release the GIL (plain ctypes calls), so the threaded
 loaders scale across cores. Every function has a PIL/numpy fallback —
@@ -44,14 +48,18 @@ def _build(so: str) -> bool:
     # (threads are already serialized by _load_lock).
     fd, tmp = tempfile.mkstemp(prefix="libssgnative.", suffix=".so", dir=_DIR)
     os.close(fd)
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp]
+    # Preferred: with libjpeg decode support. Hosts without jpeglib.h /
+    # libjpeg keep every other native entry point (the C++ stubs report
+    # ssg_has_jpeg() == 0 and decode falls back to PIL).
+    attempts = [base + ["-DSSG_HAVE_JPEG=1", "-ljpeg"], base]
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
-            check=True,
-            capture_output=True,
-        )
-        os.replace(tmp, so)
-        return True
+        for cmd in attempts:
+            proc = subprocess.run(cmd, capture_output=True)
+            if proc.returncode == 0:
+                os.replace(tmp, so)
+                return True
+        return False
     except Exception:
         return False
     finally:
@@ -88,10 +96,17 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
     i = ctypes.c_int
-    lib.ssg_resize_bilinear_u8.argtypes = [u8p, i, i, i, u8p, i, i]
-    lib.ssg_resize_nearest_u8.argtypes = [u8p, i, i, i, u8p, i, i]
+    ip = ctypes.POINTER(ctypes.c_int)
+    sz = ctypes.c_size_t
+    lib.ssg_resize_bilinear_u8.argtypes = [u8p, i, i, i, u8p, i, i, i]
+    lib.ssg_resize_nearest_u8.argtypes = [u8p, i, i, i, u8p, i, i, i]
     lib.ssg_normalize_pad.argtypes = [u8p, i, i, f32p, i, i, f32p, f32p]
-    lib.ssg_preprocess.argtypes = [u8p, i, i, i, i, i, i, f32p, f32p, f32p]
+    lib.ssg_preprocess.argtypes = [u8p, i, i, i, i, i, i, f32p, f32p, f32p, i]
+    lib.ssg_jpeg_dims.argtypes = [u8p, sz, i, ip, ip]
+    lib.ssg_jpeg_dims.restype = i
+    lib.ssg_decode_jpeg.argtypes = [u8p, sz, i, u8p, i, i]
+    lib.ssg_decode_jpeg.restype = i
+    lib.ssg_has_jpeg.restype = i
     return lib
 
 
@@ -107,8 +122,13 @@ def _f32(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def resize_bilinear_u8(src: np.ndarray, size) -> np.ndarray:
-    """Pillow-parity bilinear resize of (H, W[, C]) uint8 to (th, tw)."""
+def resize_bilinear_u8(src: np.ndarray, size, *, flip: bool = False) -> np.ndarray:
+    """Pillow-parity bilinear resize of (H, W[, C]) uint8 to (th, tw).
+
+    ``flip=True`` resizes the horizontally mirrored source (bit-identical
+    to ``FLIP_LEFT_RIGHT`` + resize) without materializing the flipped
+    copy — the mirror happens inside the horizontal resampling pass.
+    """
     lib = _load()
     th, tw = size
     squeeze = src.ndim == 2
@@ -117,11 +137,11 @@ def resize_bilinear_u8(src: np.ndarray, size) -> np.ndarray:
     src = np.ascontiguousarray(src, np.uint8)
     sh, sw, ch = src.shape
     dst = np.empty((th, tw, ch), np.uint8)
-    lib.ssg_resize_bilinear_u8(_u8(src), sh, sw, ch, _u8(dst), th, tw)
+    lib.ssg_resize_bilinear_u8(_u8(src), sh, sw, ch, _u8(dst), th, tw, int(flip))
     return dst[:, :, 0] if squeeze else dst
 
 
-def resize_nearest_u8(src: np.ndarray, size) -> np.ndarray:
+def resize_nearest_u8(src: np.ndarray, size, *, flip: bool = False) -> np.ndarray:
     lib = _load()
     th, tw = size
     squeeze = src.ndim == 2
@@ -130,7 +150,7 @@ def resize_nearest_u8(src: np.ndarray, size) -> np.ndarray:
     src = np.ascontiguousarray(src, np.uint8)
     sh, sw, ch = src.shape
     dst = np.empty((th, tw, ch), np.uint8)
-    lib.ssg_resize_nearest_u8(_u8(src), sh, sw, ch, _u8(dst), th, tw)
+    lib.ssg_resize_nearest_u8(_u8(src), sh, sw, ch, _u8(dst), th, tw, int(flip))
     return dst[:, :, 0] if squeeze else dst
 
 
@@ -146,7 +166,8 @@ def normalize_pad(src: np.ndarray, padded_size, mean, std) -> np.ndarray:
     return dst
 
 
-def preprocess(src: np.ndarray, target_size, padded_size, mean, std) -> np.ndarray:
+def preprocess(src: np.ndarray, target_size, padded_size, mean, std,
+               *, flip: bool = False) -> np.ndarray:
     """Fused resize + normalize + pad: uint8 (H, W, 3) -> f32 (ph, pw, 3)."""
     lib = _load()
     src = np.ascontiguousarray(src, np.uint8)
@@ -157,6 +178,90 @@ def preprocess(src: np.ndarray, target_size, padded_size, mean, std) -> np.ndarr
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     lib.ssg_preprocess(
-        _u8(src), sh, sw, th, tw, ph, pw, _f32(mean), _f32(std), _f32(dst)
+        _u8(src), sh, sw, th, tw, ph, pw, _f32(mean), _f32(std), _f32(dst),
+        int(flip),
     )
     return dst
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return bool(lib is not None and lib.ssg_has_jpeg())
+
+
+def decode_jpeg_dims(data: bytes, scale_num: int = 8):
+    """(H, W) the decoder would produce for ``scale_num``/8, or None.
+
+    Header-parse only (cheap) — used to pick the smallest covering
+    DCT-domain scale before committing to a decode.
+    """
+    lib = _load()
+    if lib is None or not lib.ssg_has_jpeg():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.ssg_jpeg_dims(_u8(buf), buf.size, scale_num,
+                         ctypes.byref(h), ctypes.byref(w)):
+        return None
+    return h.value, w.value
+
+
+def decode_jpeg(data: bytes, scale_num: int = 8) -> Optional[np.ndarray]:
+    """libjpeg decode of a JPEG byte stream to RGB uint8 (H, W, 3).
+
+    ``scale_num``/8 is the decoder's DCT-domain output scale (8 = full
+    resolution; output dims are ``ceil(dim * scale_num / 8)``, exactly
+    Pillow's ``Image.draft`` engine). Returns None on any decode problem
+    (corrupt stream, exotic color space, no libjpeg at build time) —
+    callers fall back to PIL.
+    """
+    lib = _load()
+    if lib is None or not lib.ssg_has_jpeg():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.ssg_jpeg_dims(_u8(buf), buf.size, scale_num,
+                         ctypes.byref(h), ctypes.byref(w)):
+        return None
+    dst = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.ssg_decode_jpeg(_u8(buf), buf.size, scale_num, _u8(dst),
+                           h.value, w.value):
+        return None
+    return dst
+
+
+_decode_trusted: Optional[bool] = None
+
+
+def decode_jpeg_verified(data: bytes) -> Optional[np.ndarray]:
+    """Full-resolution ``decode_jpeg`` behind a once-per-process oracle.
+
+    JPEG decode is not bit-exactness-mandated by the spec, and Pillow
+    bundles its own libjpeg-turbo which may diverge from the system
+    library this module links. The first call decodes its input with BOTH
+    and compares: bit-equal -> the native path is trusted for the rest of
+    the process; any mismatch -> permanently disabled (returns None, the
+    caller's PIL fallback becomes the path). One extra PIL decode per
+    process buys a per-host bit-exactness guarantee instead of an
+    assumption.
+    """
+    global _decode_trusted
+    if _decode_trusted is False:
+        return None
+    out = decode_jpeg(data)
+    if out is None:
+        return None
+    if _decode_trusted is None:
+        import io
+
+        from PIL import Image
+
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        _decode_trusted = ref.shape == out.shape and bool(
+            np.array_equal(ref, out)
+        )
+        if not _decode_trusted:
+            return None
+    return out
