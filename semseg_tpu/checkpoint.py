@@ -207,15 +207,26 @@ def load_weights(
     arch_decoder: str,
     weights_encoder: str = "",
     weights_decoder: str = "",
+    pretrained_encoder: bool = False,
 ):
     """Load encoder/decoder weights from native or torch checkpoints.
 
     Mirrors the reference builders' ``weights`` handling
-    (models.py:106-109, 153-156).
+    (models.py:106-109, 153-156). With ``pretrained_encoder`` and no
+    explicit ``weights_encoder``, the encoder initializes from the
+    published ImageNet backbone (downloaded + converted) — the reference's
+    ``pretrained = len(weights) == 0`` default (models.py:65); offline it
+    warns and keeps random init instead of crashing.
     """
     from semseg_tpu.models.convert import convert_checkpoints, load_torch_checkpoint
 
     enc_state = dec_state = None
+    if pretrained_encoder and not weights_encoder:
+        from semseg_tpu.models.utils import imagenet_backbone
+
+        path = imagenet_backbone(arch_encoder)
+        if path:
+            enc_state = load_torch_checkpoint(path)
     for which, path in (("enc", weights_encoder), ("dec", weights_decoder)):
         if not path:
             continue

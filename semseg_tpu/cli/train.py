@@ -215,6 +215,11 @@ def main(argv=None):
         arch_decoder=cfg.MODEL.arch_decoder,
         weights_encoder=cfg.MODEL.weights_encoder,
         weights_decoder=cfg.MODEL.weights_decoder,
+        # Resume (start_epoch > 0) overwrites everything from the epoch
+        # checkpoint anyway — skip the backbone fetch in that case.
+        pretrained_encoder=(
+            cfg.MODEL.pretrained_encoder and cfg.TRAIN.start_epoch == 0
+        ),
     )
     state = create_train_state(cfg, model, variables)
     if cfg.TRAIN.start_epoch > 0:

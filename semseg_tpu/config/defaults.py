@@ -46,6 +46,12 @@ _C.MODEL.arch_decoder = "ppm_deepsup"
 # Path to encoder/decoder weights ("" = random / ImageNet init).
 _C.MODEL.weights_encoder = ""
 _C.MODEL.weights_decoder = ""
+# With no explicit weights_encoder, initialize the encoder from the
+# published ImageNet backbone (downloaded to ./pretrained + converted) —
+# the reference's `pretrained = len(weights) == 0` default (models.py:65).
+# Offline hosts warn and fall back to random init. Train CLI only; eval /
+# test always load explicit checkpoints.
+_C.MODEL.pretrained_encoder = True
 # Channel count of the final encoder feature map fed to the decoder.
 _C.MODEL.fc_dim = 2048
 

@@ -11,10 +11,12 @@ converted on load via ``semseg_tpu.models.convert``.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import tempfile
+from typing import Optional
 from urllib.parse import urlparse
-from urllib.request import urlretrieve
+from urllib.request import urlopen
 
 PRETRAINED_URLS = {
     "resnet18": "http://sceneparsing.csail.mit.edu/model/pretrained_resnet/resnet18-imagenet.pth",
@@ -50,9 +52,51 @@ def load_url(url: str, model_dir: str = "./pretrained", map_location=None) -> st
         )
         os.close(fd)
         try:
-            urlretrieve(url, tmp)
+            # Bounded connect/read timeout so an offline host fails fast
+            # instead of hanging the training launch on a dead socket.
+            with urlopen(url, timeout=30) as resp, open(tmp, "wb") as f:
+                shutil.copyfileobj(resp, f)
             os.replace(tmp, cached_file)
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
     return cached_file
+
+
+def arch_url_key(arch: str) -> Optional[str]:
+    """``PRETRAINED_URLS`` key for an encoder arch, or None.
+
+    Dilated variants fold onto their backbone family (the reference's
+    dilation surgery happens AFTER the ImageNet load, models.py:65-101),
+    so e.g. ``resnet50dilated`` downloads the ``resnet50`` weights.
+    resnet34 has no published backbone (its build raises in the reference
+    too) and maps to None.
+    """
+    key = arch.lower().replace("dilated", "")
+    return key if key in PRETRAINED_URLS else None
+
+
+def imagenet_backbone(arch: str, model_dir: str = "./pretrained") -> Optional[str]:
+    """Local path of ``arch``'s published ImageNet backbone checkpoint.
+
+    Downloads into ``model_dir`` on first use (reference resnet.py:160-200
+    semantics: ``pretrained=True`` when no explicit weights are given).
+    Returns None — after a loud warning — when the arch has no published
+    backbone or the download fails (offline host); callers fall back to
+    random init instead of crashing, unlike the reference.
+    """
+    key = arch_url_key(arch)
+    if key is None:
+        return None
+    try:
+        return load_url(PRETRAINED_URLS[key], model_dir=model_dir)
+    except Exception as e:  # URLError, socket.timeout, OSError...
+        sys.stderr.write(
+            f"WARNING: could not fetch ImageNet weights for {arch} "
+            f"({type(e).__name__}: {e}); the encoder will train from "
+            "random init. Pre-download the checkpoint to "
+            f"{os.path.join(model_dir, os.path.basename(urlparse(PRETRAINED_URLS[key]).path))} "
+            "on a host with network access, or set MODEL.pretrained_encoder "
+            "False to silence this.\n"
+        )
+        return None

@@ -62,6 +62,9 @@ COMMON = [
     "DATASET.imgSizes", "(48,64)",
     "DATASET.imgMaxSize", "100",
     "TPU.compute_dtype", "float32",
+    # No ImageNet-backbone download attempts from the test sandbox (each
+    # train launch would pay the 30 s offline-socket timeout).
+    "MODEL.pretrained_encoder", "False",
 ]
 
 

@@ -215,3 +215,110 @@ def test_imagenet_style_ingestion(tmp_path, family, enc_arch, dec_arch, fc_dim):
     np.testing.assert_allclose(ours, ref, atol=2e-2, rtol=0)
     agree = (ours.argmax(1) == ref.argmax(1)).mean()
     assert agree > 0.999, f"argmax agreement {agree}"
+
+
+# ---------------------------------------------------------------------------
+# pretrained_encoder auto-init (cfg.MODEL.pretrained_encoder)
+# ---------------------------------------------------------------------------
+#
+# The reference's train path downloads ImageNet backbone weights whenever no
+# explicit encoder checkpoint is given (models.py:65 `pretrained =
+# len(weights) == 0`). load_weights(pretrained_encoder=True) mirrors that
+# via models.utils.imagenet_backbone; these tests stub the download (no
+# network in-suite) and pin the fallback semantics.
+
+
+def test_arch_url_key_mapping():
+    from semseg_tpu.models.utils import PRETRAINED_URLS, arch_url_key
+
+    assert arch_url_key("resnet50dilated") == "resnet50"
+    assert arch_url_key("resnet18") == "resnet18"
+    assert arch_url_key("ResNet101Dilated") == "resnet101"
+    assert arch_url_key("resnext101") == "resnext101"
+    assert arch_url_key("mobilenetv2dilated") == "mobilenetv2"
+    assert arch_url_key("hrnetv2") == "hrnetv2"
+    # No published backbone for resnet34 (build_encoder raises there too).
+    assert arch_url_key("resnet34dilated") is None
+    for key in map(arch_url_key, ("resnet50dilated", "hrnetv2")):
+        assert key in PRETRAINED_URLS
+
+
+def test_load_weights_pretrained_encoder_stubbed(tmp_path, monkeypatch):
+    """pretrained_encoder=True converts the (stub-downloaded) ImageNet
+    backbone into the encoder params and leaves the decoder random."""
+    from semseg_tpu import checkpoint as ckpt_mod
+    from semseg_tpu.models import utils as murl
+
+    base, _ = _build_base_and_wrapper("resnet18dilated")
+    p = tmp_path / "resnet18-imagenet.pth"
+    torch.save(base.state_dict(), p)
+    monkeypatch.setattr(
+        murl, "load_url", lambda url, model_dir="./pretrained": str(p)
+    )
+
+    model, variables = build_ours("resnet18dilated", "ppm_deepsup", 512)
+    dec_before = jnp.asarray(
+        variables["params"]["decoder"]["conv_last"]["kernel"]
+    )
+    out = ckpt_mod.load_weights(
+        dict(variables),
+        arch_encoder="resnet18dilated",
+        arch_decoder="ppm_deepsup",
+        pretrained_encoder=True,
+    )
+    got = np.asarray(out["params"]["encoder"]["stem1"]["conv"]["kernel"])
+    want = np.transpose(base.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["decoder"]["conv_last"]["kernel"]),
+        np.asarray(dec_before),
+    )
+
+
+def test_load_weights_pretrained_encoder_offline_fallback(monkeypatch, capsys):
+    """Download failure (offline host) warns and keeps random init."""
+
+    from semseg_tpu import checkpoint as ckpt_mod
+    from semseg_tpu.models import utils as murl
+
+    def boom(url, model_dir="./pretrained"):
+        raise OSError("no route to host")
+
+    monkeypatch.setattr(murl, "load_url", boom)
+    model, variables = build_ours("resnet18dilated", "ppm_deepsup", 512)
+    before = np.asarray(variables["params"]["encoder"]["stem1"]["conv"]["kernel"])
+    out = ckpt_mod.load_weights(
+        dict(variables),
+        arch_encoder="resnet18dilated",
+        arch_decoder="ppm_deepsup",
+        pretrained_encoder=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["encoder"]["stem1"]["conv"]["kernel"]), before
+    )
+    assert "could not fetch ImageNet weights" in capsys.readouterr().err
+
+
+def test_load_weights_explicit_weights_beat_pretrained(tmp_path, monkeypatch):
+    """An explicit weights_encoder wins; no download attempt happens."""
+    from semseg_tpu import checkpoint as ckpt_mod
+    from semseg_tpu.models import utils as murl
+
+    def boom(url, model_dir="./pretrained"):
+        raise AssertionError("must not download when weights are explicit")
+
+    monkeypatch.setattr(murl, "load_url", boom)
+    base, _ = _build_base_and_wrapper("resnet18dilated")
+    p = tmp_path / "enc.pth"
+    torch.save(base.state_dict(), p)
+    model, variables = build_ours("resnet18dilated", "ppm_deepsup", 512)
+    out = ckpt_mod.load_weights(
+        dict(variables),
+        arch_encoder="resnet18dilated",
+        arch_decoder="ppm_deepsup",
+        weights_encoder=str(p),
+        pretrained_encoder=True,
+    )
+    got = np.asarray(out["params"]["encoder"]["stem1"]["conv"]["kernel"])
+    want = np.transpose(base.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
