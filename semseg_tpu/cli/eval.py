@@ -418,6 +418,11 @@ def main(argv=None):
     parser.add_argument("--metrics-out", default="",
                         help="write raw combinable metric sums (acc_sum, "
                         "pix_count, per-class inter/union) to this .npz")
+    parser.add_argument("--profile", default="",
+                        help="capture a JAX profiler trace of the eval loop "
+                             "into this directory (view with TensorBoard / "
+                             "xprof) — the eval-side twin of train.py "
+                             "--profile")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     args = parser.parse_args(argv)
     # parse_odgt slices only when BOTH indices are >= 0; resolve open-ended
@@ -491,6 +496,9 @@ def main(argv=None):
         end_idx=args.end_idx,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
+    if args.profile:
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
     try:
         *_, raw = evaluate(
             engines,
@@ -503,6 +511,10 @@ def main(argv=None):
     except Exception as e:
         _heal_or_raise(e, engines, batch, args, logger, argv)
         return  # unreachable: _heal_or_raise re-execs or raises
+    finally:
+        if args.profile:
+            jax.profiler.stop_trace()
+            logger.info(f"Wrote profiler trace to {args.profile}")
     if args.metrics_out:
         np.savez(args.metrics_out, **raw)
         logger.info(f"Wrote raw metric sums to {args.metrics_out}")

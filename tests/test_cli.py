@@ -96,10 +96,17 @@ def test_train_eval_test_cycle(mini, tmp_path_factory):
     assert "Resumed from epoch 1" in out
     assert os.path.isdir(os.path.join(ckpt, "epoch_2"))
 
+    trace_dir = str(tmp_path_factory.mktemp("trace"))
     out = run_cli(
-        "eval.py", *COMMON, *data_opts, "VAL.checkpoint", "epoch_2.pth",
+        "eval.py", "--profile", trace_dir, *COMMON, *data_opts,
+        "VAL.checkpoint", "epoch_2.pth",
     )
     assert "Mean IoU" in out and "Evaluation Done!" in out
+    # --profile wrote a JAX profiler trace (plugins/profile/<ts>/*)
+    assert "Wrote profiler trace" in out
+    assert any(
+        files for _, _, files in os.walk(trace_dir)
+    ), f"empty profiler trace dir {trace_dir}"
 
     # multi-device eval: round-robin over 2 virtual devices
     out = run_cli(
