@@ -106,6 +106,8 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.ssg_jpeg_dims.restype = i
     lib.ssg_decode_jpeg.argtypes = [u8p, sz, i, u8p, i, i]
     lib.ssg_decode_jpeg.restype = i
+    lib.ssg_jpeg_class.argtypes = [u8p, sz]
+    lib.ssg_jpeg_class.restype = i
     lib.ssg_has_jpeg.restype = i
     return lib
 
@@ -232,36 +234,47 @@ def decode_jpeg(data: bytes, scale_num: int = 8) -> Optional[np.ndarray]:
     return dst
 
 
-_decode_trusted: Optional[bool] = None
+_decode_disabled = False
+_trusted_classes: set = set()
 
 
 def decode_jpeg_verified(data: bytes) -> Optional[np.ndarray]:
-    """Full-resolution ``decode_jpeg`` behind a once-per-process oracle.
+    """Full-resolution ``decode_jpeg`` behind a per-decode-class oracle.
 
     JPEG decode is not bit-exactness-mandated by the spec, and Pillow
     bundles its own libjpeg-turbo which may diverge from the system
-    library this module links. The first call decodes its input with BOTH
-    and compares: bit-equal -> the native path is trusted for the rest of
-    the process; any mismatch -> permanently disabled (returns None, the
-    caller's PIL fallback becomes the path). One extra PIL decode per
-    process buys a per-host bit-exactness guarantee instead of an
-    assumption.
+    library this module links — *per decode path*: e.g. merged/fancy
+    chroma-upsampling SIMD only runs for 4:2:0 sources, so bit-equality
+    on one image proves nothing about a 4:4:4 or progressive one. The
+    first stream of each decode class (``ssg_jpeg_class``: progressive
+    flag x color space x per-component sampling) is decoded with BOTH
+    libraries and compared: bit-equal -> that class is trusted for the
+    rest of the process; any mismatch anywhere -> native decode is
+    permanently disabled (a divergent build is not worth per-class
+    hairsplitting). One extra PIL decode per class buys a per-host,
+    per-path bit-exactness guarantee instead of an assumption.
     """
-    global _decode_trusted
-    if _decode_trusted is False:
+    global _decode_disabled
+    if _decode_disabled:
+        return None
+    lib = _load()
+    if lib is None or not lib.ssg_has_jpeg():
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cls = lib.ssg_jpeg_class(_u8(buf), buf.size)
+    if cls < 0:
         return None
     out = decode_jpeg(data)
     if out is None:
         return None
-    if _decode_trusted is None:
+    if cls not in _trusted_classes:
         import io
 
         from PIL import Image
 
         ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-        _decode_trusted = ref.shape == out.shape and bool(
-            np.array_equal(ref, out)
-        )
-        if not _decode_trusted:
+        if ref.shape != out.shape or not np.array_equal(ref, out):
+            _decode_disabled = True
             return None
+        _trusted_classes.add(cls)
     return out

@@ -358,6 +358,42 @@ int ssg_decode_jpeg(const uint8_t* data, size_t len, int scale_num,
   return ok ? 0 : 1;
 }
 
+// Signature of the decode PATH a stream will take: progressive flag,
+// source color space, and per-component sampling factors. libjpeg builds
+// (Pillow's bundled turbo vs the system library) can differ per-path —
+// e.g. merged vs fancy chroma upsampling SIMD only runs for 4:2:0 — so
+// bit-equality verified on one class says nothing about another. The
+// bindings' decode oracle verifies each distinct signature once
+// (native/__init__.py decode_jpeg_verified). Returns -1 on parse error.
+int ssg_jpeg_class(const uint8_t* data, size_t len) {
+  jpeg_decompress_struct cinfo;
+  SsgJpegError err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = ssg_jpeg_error_exit;
+  err.mgr.emit_message = ssg_jpeg_silence;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  int sig = -1;
+  if (jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK) {
+    sig = (cinfo.progressive_mode ? 1 : 0) << 20;
+    sig |= (static_cast<int>(cinfo.jpeg_color_space) & 0xF) << 16;
+    const int n = cinfo.num_components < 4 ? cinfo.num_components : 4;
+    for (int c = 0; c < n; ++c) {
+      // 1..4 each; pack two 2-bit-ish fields per component (4 bits).
+      sig |= ((cinfo.comp_info[c].h_samp_factor & 0x3) |
+              ((cinfo.comp_info[c].v_samp_factor & 0x3) << 2))
+             << (c * 4);
+    }
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return sig;
+}
+
 int ssg_has_jpeg() { return 1; }
 
 #else  // !SSG_HAVE_JPEG
@@ -366,6 +402,7 @@ int ssg_jpeg_dims(const uint8_t*, size_t, int, int*, int*) { return 1; }
 int ssg_decode_jpeg(const uint8_t*, size_t, int, uint8_t*, int, int) {
   return 1;
 }
+int ssg_jpeg_class(const uint8_t*, size_t) { return -1; }
 int ssg_has_jpeg() { return 0; }
 
 #endif  // SSG_HAVE_JPEG

@@ -164,13 +164,43 @@ class TestJpegDecode:
     def test_verified_oracle_gates_decode(self, rng, monkeypatch):
         data = _jpeg_bytes(rng.randint(0, 256, (32, 48, 3)).astype(np.uint8))
         # Fresh oracle: first call compares against PIL and (on this host,
-        # where the full-decode test above passed) trusts the native path.
-        monkeypatch.setattr(native, "_decode_trusted", None)
+        # where the full-decode test above passed) trusts the stream's
+        # decode class.
+        monkeypatch.setattr(native, "_trusted_classes", set())
+        monkeypatch.setattr(native, "_decode_disabled", False)
         assert native.decode_jpeg_verified(data) is not None
-        assert native._decode_trusted is True
-        # A host where the comparison failed must stay on PIL forever.
-        monkeypatch.setattr(native, "_decode_trusted", False)
+        assert len(native._trusted_classes) == 1
+        # A host where any comparison failed must stay on PIL forever.
+        monkeypatch.setattr(native, "_decode_disabled", True)
         assert native.decode_jpeg_verified(data) is None
+
+    def test_oracle_verifies_each_decode_class(self, rng, monkeypatch):
+        """Distinct decode paths (chroma subsampling, progressive) each get
+        their own PIL comparison — bit-equality on baseline 4:2:0 says
+        nothing about e.g. 4:4:4's different upsampling SIMD path."""
+        import io
+
+        arr = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+        variants = []
+        for kw in (
+            {"subsampling": 2},               # 4:2:0 baseline
+            {"subsampling": 0},               # 4:4:4
+            {"subsampling": 2, "progressive": True},
+        ):
+            b = io.BytesIO()
+            Image.fromarray(arr).save(b, "JPEG", quality=90, **kw)
+            variants.append(b.getvalue())
+        classes = {native._load().ssg_jpeg_class(
+            native._u8(np.frombuffer(v, np.uint8)),
+            len(v)) for v in variants}
+        assert len(classes) == 3  # the signature separates them
+        monkeypatch.setattr(native, "_trusted_classes", set())
+        monkeypatch.setattr(native, "_decode_disabled", False)
+        for i, v in enumerate(variants):
+            ref = np.asarray(Image.open(io.BytesIO(v)).convert("RGB"))
+            out = native.decode_jpeg_verified(v)
+            assert out is not None and np.array_equal(out, ref)
+            assert len(native._trusted_classes) == i + 1
 
 
 class TestNormalizePad:
