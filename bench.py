@@ -120,7 +120,7 @@ _LAST_ENGINE = [None]  # engine of the currently-running sub-bench
 
 
 def bench_ms_protocol(cfg_node, model, variables, *, bucket_step=MS_BUCKET,
-                      reps=5, pack_buckets=False):
+                      reps=5, pack_buckets=False, upload_pipeline=True):
     """5-scale TTA + on-device metrics via the real BatchedInferenceEngine,
     over ORIGINAL shapes sampled from data/validation.odgt (so bucket-batch
     fill matches the real distribution). Returns (best_fps, median_fps)."""
@@ -150,6 +150,7 @@ def bench_ms_protocol(cfg_node, model, variables, *, bucket_step=MS_BUCKET,
         batch_size=4,
         fetch_dtype="bfloat16",
         pack_buckets=pack_buckets,
+        upload_pipeline=upload_pipeline,
     )
     _LAST_ENGINE[0] = engine  # crash-suspect attribution (see guarded())
     engine.batched_metrics(pyramids, labels)  # compile all buckets + warmup

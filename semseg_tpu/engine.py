@@ -30,6 +30,7 @@ Design here:
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Sequence
 
 import numpy as np
@@ -387,10 +388,19 @@ class BatchedInferenceEngine(InferenceEngine):
     def __init__(self, *args, batch_size: int = 4, postproc_workers: int = 8,
                  canvas_budget_mb: int = 4096, pack_buckets: bool = False,
                  pack_max_area_ratio: float = 1.3,
-                 pack_max_pad_px: int = 32, **kw):
+                 pack_max_pad_px: int = 32,
+                 upload_pipeline: bool = True, **kw):
         super().__init__(*args, **kw)
         self.batch_size = batch_size
         self.postproc_workers = postproc_workers
+        # Stage chunk k+1's host batch assembly + H2D upload on a worker
+        # thread while chunk k's forward dispatches (numerically inert —
+        # same tensors, different overlap). The same design the
+        # device-pyramid engine ships: ONE coalesced device_put per chunk
+        # from the uploader, so it does not contend with the dispatch
+        # stream the way per-leaf puts measured (PERF_NOTES round-4
+        # pipelining table).
+        self.upload_pipeline = upload_pipeline
         # Throughput knob: fold under-filled bucket groups into larger
         # buckets when the cost model (padded-batch area) says the fill
         # gain beats the extra padding. Off by default — the wider pad
@@ -574,27 +584,39 @@ class BatchedInferenceEngine(InferenceEngine):
                 groups[best].extend(groups.pop(k))
         return groups
 
-    def _forward_host_chunk(self, key, padded_chunk, *, to_fetch=False):
-        """Forward one padded host-pyramid chunk; returns (logits, hw_list).
+    def _stage_host_chunk(self, key, padded_chunk):
+        """Assemble + upload one padded host-pyramid chunk (no dispatch).
 
-        ``to_fetch``: the logits will cross the device→host link (host
-        post-processing) — narrow them to ``fetch_dtype`` on device.
+        Runs on the pipeline's uploader thread: ONE coalesced device_put
+        for (batch, hs, ws), so it never floods the link with per-leaf
+        RPCs while the main thread dispatches forwards.
         """
         ph, pw = key
-        self._note_dispatch(key)
         batch = np.zeros((self.batch_size, ph, pw, 3), np.uint8)
         hs = np.zeros(self.batch_size, np.int32)
         ws = np.zeros(self.batch_size, np.int32)
         for j, (_, arr, h, w) in enumerate(padded_chunk):
             batch[j, :h, :w] = arr[0]
             hs[j], ws[j] = h, w
-        dev_logits = self._batched_raw_fn(
-            self.variables, *self._put_tree((batch, hs, ws)), to_fetch,
-        )
+        return self._put_tree((batch, hs, ws))
+
+    def _forward_host_chunk(self, key, padded_chunk, staged=None, *,
+                            to_fetch=False):
+        """Forward one padded host-pyramid chunk; returns (logits, hw_list).
+
+        ``staged``: pre-uploaded device inputs from ``_stage_host_chunk``
+        (upload pipelining); None = stage inline.
+        ``to_fetch``: the logits will cross the device→host link (host
+        post-processing) — narrow them to ``fetch_dtype`` on device.
+        """
+        self._note_dispatch(key)
+        if staged is None:
+            staged = self._stage_host_chunk(key, padded_chunk)
+        dev_logits = self._batched_raw_fn(self.variables, *staged, to_fetch)
         return dev_logits, [(h, w) for (_, _, h, w) in padded_chunk]
 
     def _accumulate_on_device(self, seg_sizes, groups, n_levels,
-                              forward_chunk, finalize):
+                              forward_chunk, finalize, stage_chunk=None):
         """Shared driver: batched forwards + per-image on-device score
         canvases.
 
@@ -603,21 +625,64 @@ class BatchedInferenceEngine(InferenceEngine):
         ``forward_chunk(shape_key, padded_chunk)`` runs one device batch and
         returns (logits, per-entry valid (h, w) at input resolution);
         ``finalize(item_idx, acc_canvas)`` is called once each image's last
-        level has been accumulated (its canvas is then freed). Returns
-        {item_idx: finalize result}.
+        level has been accumulated (its canvas is then freed);
+        ``stage_chunk(shape_key, padded_chunk)``: optional upload stager —
+        when given, a worker thread stages chunk k+1's device inputs while
+        chunk k forwards, and ``forward_chunk`` receives the staged inputs
+        as a third argument. Returns {item_idx: finalize result}.
         """
         os_ = self.output_stride
         accs: dict = {}
         remaining = dict(n_levels)
         out: dict = {}
 
+        # Flatten the chunk schedule up front so the uploader thread and
+        # the dispatch loop walk the identical order.
+        schedule = []
         for key, tasks in groups.items():
             for lo in range(0, len(tasks), self.batch_size):
                 chunk = tasks[lo : lo + self.batch_size]
                 # Pad the final chunk to the full batch so each bucket
                 # compiles exactly once; surplus outputs are dropped.
-                padded_chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-                dev_logits, hws = forward_chunk(key, padded_chunk)
+                padded = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                schedule.append((key, chunk, padded))
+
+        if stage_chunk is not None and len(schedule) > 1:
+            import queue as _queue
+
+            # Bounded depth: at most 2 staged chunk uploads in flight
+            # (~MBs of uint8) — enough to hide the upload, never enough
+            # to pile HBM.
+            staged_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+            def _uploader():
+                try:
+                    for key, _, padded in schedule:
+                        staged_q.put(stage_chunk(key, padded))
+                except BaseException as e:  # propagate to the consumer
+                    staged_q.put(e)
+
+            threading.Thread(
+                target=_uploader, name="chunk-uploader", daemon=True
+            ).start()
+
+            def _staged_iter():
+                for key, chunk, padded in schedule:
+                    staged = staged_q.get()
+                    if isinstance(staged, BaseException):
+                        raise staged
+                    yield key, chunk, padded, staged
+        else:
+            def _staged_iter():
+                for key, chunk, padded in schedule:
+                    yield key, chunk, padded, None
+
+        for key, chunk, padded_chunk, staged in _staged_iter():
+                dev_logits, hws = (
+                    forward_chunk(key, padded_chunk)
+                    if staged is None
+                    else forward_chunk(key, padded_chunk, staged)
+                )
                 for j, task in enumerate(chunk):
                     item_idx = task[0]
                     h, w = hws[j]
@@ -707,6 +772,10 @@ class BatchedInferenceEngine(InferenceEngine):
                     seg_sizes, groups, {i: len(items[i]) for i in window},
                     self._forward_host_chunk,
                     finalize,
+                    stage_chunk=(
+                        self._stage_host_chunk if self.upload_pipeline
+                        else None
+                    ),
                 )
             )
         return out
