@@ -397,10 +397,15 @@ def main(argv=None):
                              "lattice point: 'auto' (per-backend known-"
                              "faulty shapes, e.g. 304x400 on the axon "
                              "stack), 'none', or 'HxW[,HxW...]'")
-    parser.add_argument("--pack-buckets", action="store_true",
-                        help="throughput: fold under-filled bucket batches "
-                             "into larger buckets (cost-model-driven; adds "
-                             "pad-border drift like a coarser --bucket-step)")
+    parser.add_argument("--pack-buckets", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="fold under-filled bucket batches into larger "
+                             "buckets (cost-model-driven, pad-aware-pooled; "
+                             "measured drift at the default step-8 lattice "
+                             "is below the --exact noise floor, PARITY.md "
+                             "packed rows). On by default; "
+                             "--no-pack-buckets restores one-bucket-per-"
+                             "lattice-point execution")
     parser.add_argument("--device-pyramid", action="store_true",
                         help="derive every pyramid scale ON DEVICE from the "
                              "original image (one upload per image, ~5.7x "

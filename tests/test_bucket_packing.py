@@ -130,3 +130,22 @@ class TestPackedResultsExact:
         for (a, b) in zip(m0, m1):
             for (x, y) in zip(a, b):
                 np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_eval_cli_packs_by_default():
+    """Packing is the cli/eval.py DEFAULT protocol since round 4 (PARITY.md
+    packed rows: step-8 drift below the --exact noise floor); the engine
+    constructor keeps pack_buckets=False so programmatic users opt in.
+    --no-pack-buckets must exist as the opt-out."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "eval.py"), "--help"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "--no-pack-buckets" in proc.stdout
