@@ -22,9 +22,7 @@ def strip(nb):
         if cell.get("cell_type") == "code":
             cell["outputs"] = []
             cell["execution_count"] = None
-        # nbformat 3 notebooks nest cells under worksheets.
-        for ws in cell.get("worksheets", ()):
-            strip(ws)
+    # nbformat 3 notebooks nest cells under top-level worksheets.
     for ws in nb.get("worksheets", ()):
         for cell in ws.get("cells", []):
             if cell.get("cell_type") == "code":

@@ -501,9 +501,18 @@ def main(argv=None):
         end_idx=args.end_idx,
     )
     loader = EvalLoader(dataset, num_workers=5, prefetch=8)
+    profiling = [False]
     if args.profile:
         os.makedirs(args.profile, exist_ok=True)
         jax.profiler.start_trace(args.profile)
+        profiling[0] = True
+
+    def _stop_profile():  # idempotent: both exit paths below hit it
+        if profiling[0]:
+            profiling[0] = False
+            jax.profiler.stop_trace()
+            logger.info(f"Wrote profiler trace to {args.profile}")
+
     try:
         *_, raw = evaluate(
             engines,
@@ -514,12 +523,15 @@ def main(argv=None):
             vis_dir=os.path.join(cfg.DIR, "result"),
         )
     except Exception as e:
+        # os.execv in _heal_or_raise replaces the process WITHOUT
+        # unwinding, so the finally below would never run on the heal
+        # path — flush the trace first (the attempt's capture stays
+        # viewable; the restarted run records its own).
+        _stop_profile()
         _heal_or_raise(e, engines, batch, args, logger, argv)
         return  # unreachable: _heal_or_raise re-execs or raises
     finally:
-        if args.profile:
-            jax.profiler.stop_trace()
-            logger.info(f"Wrote profiler trace to {args.profile}")
+        _stop_profile()
     if args.metrics_out:
         np.savez(args.metrics_out, **raw)
         logger.info(f"Wrote raw metric sums to {args.metrics_out}")

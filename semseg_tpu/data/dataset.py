@@ -63,6 +63,17 @@ def _effective_lattice(bucket_step, padding_constant: int) -> int:
     return ((bucket_step - 1) // padding_constant + 1) * padding_constant
 
 
+def _jpeg_bytes_for_native(path: str):
+    """The file's bytes when the native libjpeg path applies, else None."""
+    if not (_native_ok() and path.lower().endswith((".jpg", ".jpeg"))):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
 def _decode_rgb(path: str) -> np.ndarray:
     """Decode an image file to an RGB uint8 (H, W, 3) array.
 
@@ -72,18 +83,13 @@ def _decode_rgb(path: str) -> np.ndarray:
     mismatch, no native build) decodes with PIL. Output is identical
     either way, so every consumer keeps reference parity.
     """
-    if _native_ok() and path.lower().endswith((".jpg", ".jpeg")):
+    data = _jpeg_bytes_for_native(path)
+    if data is not None:
         from semseg_tpu import native
 
-        try:
-            with open(path, "rb") as f:
-                data = f.read()
-        except OSError:
-            data = None
-        if data is not None:
-            out = native.decode_jpeg_verified(data)
-            if out is not None:
-                return out
+        out = native.decode_jpeg_verified(data)
+        if out is not None:
+            return out
     return np.asarray(Image.open(path).convert("RGB"), np.uint8)
 
 
@@ -237,7 +243,8 @@ class TrainDataset(BaseDataset):
                 return batch
 
     def _decode_native(self, img_path: str, h_i: int, w_i: int):
-        """libjpeg decode of one training image, or None (PIL fallback).
+        """libjpeg decode of one training image → (array, full-res (H, W)),
+        or None (PIL fallback).
 
         Full-resolution decode goes through ``decode_jpeg_verified`` — a
         once-per-process bit-equality oracle against PIL (JPEG decode is
@@ -246,17 +253,15 @@ class TrainDataset(BaseDataset):
         DCT-domain scale_num/8 that still covers (h_i, w_i), skipping most
         IDCT + color-conversion work; the later Pillow-parity bilinear
         resample still runs, just from a smaller (already band-limited)
-        source.
+        source. The full-resolution dims ride along so the caller can keep
+        the reference's image/label size consistency assert even when the
+        returned array is a prescaled decode.
         """
-        if not img_path.lower().endswith((".jpg", ".jpeg")):
+        data = _jpeg_bytes_for_native(img_path)
+        if data is None:
             return None
         from semseg_tpu import native
 
-        try:
-            with open(img_path, "rb") as f:
-                data = f.read()
-        except OSError:
-            return None
         if self.fast_decode:
             dims = native.decode_jpeg_dims(data)
             if dims is not None:
@@ -268,8 +273,11 @@ class TrainDataset(BaseDataset):
                     -(-8 * w_i // ow) if ow else 8,
                 )
                 if 1 <= m < 8:
-                    return native.decode_jpeg(data, scale_num=int(m))
-        return native.decode_jpeg_verified(data)
+                    arr = native.decode_jpeg(data, scale_num=int(m))
+                    if arr is not None:
+                        return arr, (oh, ow)
+        arr = native.decode_jpeg_verified(data)
+        return None if arr is None else (arr, arr.shape[:2])
 
     def next_batch(self) -> dict:
         """Build one device batch: {'img_data': NHWC f32, 'seg_label': NHW i32}."""
@@ -316,16 +324,25 @@ class TrainDataset(BaseDataset):
                 from semseg_tpu import native
                 from .transforms import MEAN, STD
 
-                img_arr = self._decode_native(img_path, h_i, w_i)
-                if img_arr is None:
+                decoded = self._decode_native(img_path, h_i, w_i)
+                if decoded is None:
                     img_arr = np.asarray(
                         Image.open(img_path).convert("RGB"), np.uint8
                     )
+                    img_full_hw = img_arr.shape[:2]
+                else:
+                    img_arr, img_full_hw = decoded
                 segm = Image.open(
                     os.path.join(self.root_dataset, rec["fpath_segm"])
                 )
                 assert segm.mode == "L"
                 seg_arr = np.asarray(segm, np.uint8)
+                # Reference parity guard (dataset.py `assert img.size ==
+                # segm.size`): a mispaired/corrupt record must fail loudly,
+                # not train on misaligned image/label pairs.
+                assert tuple(img_full_hw) == seg_arr.shape[:2], (
+                    img_path, img_full_hw, seg_arr.shape[:2]
+                )
                 if self.raw_transport:
                     images[i, :h_i, :w_i] = native.resize_bilinear_u8(
                         img_arr, (h_i, w_i), flip=flip

@@ -647,6 +647,7 @@ class BatchedInferenceEngine(InferenceEngine):
                 padded = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
                 schedule.append((key, chunk, padded))
 
+        stop_uploader = None
         if stage_chunk is not None and len(schedule) > 1:
             import queue as _queue
 
@@ -654,17 +655,42 @@ class BatchedInferenceEngine(InferenceEngine):
             # (~MBs of uint8) — enough to hide the upload, never enough
             # to pile HBM.
             staged_q: _queue.Queue = _queue.Queue(maxsize=2)
+            # If the CONSUMER loop dies (e.g. a device-worker crash in
+            # forward_chunk), the uploader must not stay blocked in put()
+            # forever holding staged device buffers — the stop event plus
+            # a drain on exit guarantees the thread unblocks and exits.
+            stop = threading.Event()
+
+            def _bounded_put(item):
+                while not stop.is_set():
+                    try:
+                        staged_q.put(item, timeout=0.1)
+                        return
+                    except _queue.Full:
+                        continue
 
             def _uploader():
                 try:
                     for key, _, padded in schedule:
-                        staged_q.put(stage_chunk(key, padded))
+                        if stop.is_set():
+                            return
+                        _bounded_put(stage_chunk(key, padded))
                 except BaseException as e:  # propagate to the consumer
-                    staged_q.put(e)
+                    _bounded_put(e)
 
-            threading.Thread(
+            uploader = threading.Thread(
                 target=_uploader, name="chunk-uploader", daemon=True
-            ).start()
+            )
+            uploader.start()
+
+            def stop_uploader():
+                stop.set()
+                while True:  # free staged device buffers
+                    try:
+                        staged_q.get_nowait()
+                    except _queue.Empty:
+                        break
+                uploader.join(timeout=5.0)
 
             def _staged_iter():
                 for key, chunk, padded in schedule:
@@ -677,7 +703,8 @@ class BatchedInferenceEngine(InferenceEngine):
                 for key, chunk, padded in schedule:
                     yield key, chunk, padded, None
 
-        for key, chunk, padded_chunk, staged in _staged_iter():
+        try:
+            for key, chunk, padded_chunk, staged in _staged_iter():
                 dev_logits, hws = (
                     forward_chunk(key, padded_chunk)
                     if staged is None
@@ -705,6 +732,9 @@ class BatchedInferenceEngine(InferenceEngine):
                     remaining[item_idx] -= 1
                     if remaining[item_idx] == 0:
                         out[item_idx] = finalize(item_idx, accs.pop(item_idx))
+        finally:
+            if stop_uploader is not None:
+                stop_uploader()
         return out
 
     def _canvas_windows(self, seg_sizes, item_indices):

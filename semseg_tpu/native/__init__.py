@@ -108,6 +108,8 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.ssg_decode_jpeg.restype = i
     lib.ssg_jpeg_class.argtypes = [u8p, sz]
     lib.ssg_jpeg_class.restype = i
+    lib.ssg_jpeg_meta.argtypes = [u8p, sz, i, ip, ip]
+    lib.ssg_jpeg_meta.restype = i
     lib.ssg_has_jpeg.restype = i
     return lib
 
@@ -209,6 +211,25 @@ def decode_jpeg_dims(data: bytes, scale_num: int = 8):
     return h.value, w.value
 
 
+def _bomb_guard_ok(h: int, w: int) -> bool:
+    """Defer oversized images to the PIL path (returning None does that).
+
+    The native decode would otherwise ``np.empty((h, w, 3))`` straight
+    from header-CLAIMED dimensions — a tiny crafted stream declaring
+    65500x65500 allocates ~12.8 GB before a single pixel is validated.
+    Pillow guards this with ``Image.MAX_IMAGE_PIXELS`` (DecompressionBomb
+    warning/error); routing anything past that threshold to PIL keeps its
+    policy (including user overrides of the limit) in force.
+    """
+    try:
+        from PIL import Image
+
+        max_px = Image.MAX_IMAGE_PIXELS
+    except Exception:
+        max_px = 89478485  # Pillow's default limit
+    return max_px is None or h * w <= max_px
+
+
 def decode_jpeg(data: bytes, scale_num: int = 8) -> Optional[np.ndarray]:
     """libjpeg decode of a JPEG byte stream to RGB uint8 (H, W, 3).
 
@@ -226,6 +247,8 @@ def decode_jpeg(data: bytes, scale_num: int = 8) -> Optional[np.ndarray]:
     w = ctypes.c_int()
     if lib.ssg_jpeg_dims(_u8(buf), buf.size, scale_num,
                          ctypes.byref(h), ctypes.byref(w)):
+        return None
+    if not _bomb_guard_ok(h.value, w.value):
         return None
     dst = np.empty((h.value, w.value, 3), np.uint8)
     if lib.ssg_decode_jpeg(_u8(buf), buf.size, scale_num, _u8(dst),
@@ -261,11 +284,19 @@ def decode_jpeg_verified(data: bytes) -> Optional[np.ndarray]:
     if lib is None or not lib.ssg_has_jpeg():
         return None
     buf = np.frombuffer(data, np.uint8)
-    cls = lib.ssg_jpeg_class(_u8(buf), buf.size)
+    # One combined header parse (class signature + full-res dims), then
+    # the decode's own — instead of class + dims + decode parses.
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    cls = lib.ssg_jpeg_meta(_u8(buf), buf.size, 8,
+                            ctypes.byref(h), ctypes.byref(w))
     if cls < 0:
         return None
-    out = decode_jpeg(data)
-    if out is None:
+    if not _bomb_guard_ok(h.value, w.value):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.ssg_decode_jpeg(_u8(buf), buf.size, 8, _u8(out),
+                           h.value, w.value):
         return None
     if cls not in _trusted_classes:
         import io

@@ -302,6 +302,21 @@ bool ssg_jpeg_setup(jpeg_decompress_struct* cinfo, const uint8_t* data,
   return true;
 }
 
+// Decode-path signature from a parsed header: progressive flag, source
+// color space, per-component sampling factors (see ssg_jpeg_class).
+int ssg_jpeg_sig(const jpeg_decompress_struct& cinfo) {
+  int sig = (cinfo.progressive_mode ? 1 : 0) << 20;
+  sig |= (static_cast<int>(cinfo.jpeg_color_space) & 0xF) << 16;
+  const int n = cinfo.num_components < 4 ? cinfo.num_components : 4;
+  for (int c = 0; c < n; ++c) {
+    // 1..4 each; pack two 2-bit-ish fields per component (4 bits).
+    sig |= ((cinfo.comp_info[c].h_samp_factor & 0x3) |
+            ((cinfo.comp_info[c].v_samp_factor & 0x3) << 2))
+           << (c * 4);
+  }
+  return sig;
+}
+
 }  // namespace
 
 int ssg_jpeg_dims(const uint8_t* data, size_t len, int scale_num,
@@ -380,15 +395,34 @@ int ssg_jpeg_class(const uint8_t* data, size_t len) {
                static_cast<unsigned long>(len));
   int sig = -1;
   if (jpeg_read_header(&cinfo, TRUE) == JPEG_HEADER_OK) {
-    sig = (cinfo.progressive_mode ? 1 : 0) << 20;
-    sig |= (static_cast<int>(cinfo.jpeg_color_space) & 0xF) << 16;
-    const int n = cinfo.num_components < 4 ? cinfo.num_components : 4;
-    for (int c = 0; c < n; ++c) {
-      // 1..4 each; pack two 2-bit-ish fields per component (4 bits).
-      sig |= ((cinfo.comp_info[c].h_samp_factor & 0x3) |
-              ((cinfo.comp_info[c].v_samp_factor & 0x3) << 2))
-             << (c * 4);
-    }
+    sig = ssg_jpeg_sig(cinfo);
+  }
+  jpeg_destroy_decompress(&cinfo);
+  return sig;
+}
+
+// One-parse metadata: the decode-path signature AND the output dims for
+// scale_num/8 — a verified decode then costs ONE header parse up front
+// instead of two (class + dims) before the decode's own. Unlike
+// ssg_jpeg_class this also applies the decodability checks in
+// ssg_jpeg_setup (color space, scale), so -1 means "fall back to PIL".
+int ssg_jpeg_meta(const uint8_t* data, size_t len, int scale_num,
+                  int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  SsgJpegError err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = ssg_jpeg_error_exit;
+  err.mgr.emit_message = ssg_jpeg_silence;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  int sig = -1;
+  if (ssg_jpeg_setup(&cinfo, data, len, scale_num)) {
+    sig = ssg_jpeg_sig(cinfo);
+    *out_h = static_cast<int>(cinfo.output_height);
+    *out_w = static_cast<int>(cinfo.output_width);
   }
   jpeg_destroy_decompress(&cinfo);
   return sig;
@@ -403,6 +437,7 @@ int ssg_decode_jpeg(const uint8_t*, size_t, int, uint8_t*, int, int) {
   return 1;
 }
 int ssg_jpeg_class(const uint8_t*, size_t) { return -1; }
+int ssg_jpeg_meta(const uint8_t*, size_t, int, int*, int*) { return -1; }
 int ssg_has_jpeg() { return 0; }
 
 #endif  // SSG_HAVE_JPEG

@@ -133,7 +133,9 @@ def test_export_cli_from_native_checkpoint(tmp_path):
             "--out", str(out_dir),
             "DIR", str(ckpt_dir),
         ],
-        capture_output=True, text=True, timeout=600, cwd=repo,
+        # 1-core container: model build + orbax restore + torch save take
+        # ~5 min alone and 10+ under a concurrently-running suite.
+        capture_output=True, text=True, timeout=1800, cwd=repo,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
 

@@ -80,7 +80,11 @@ def main(argv=None):
 
     epoch = args.epoch
     if epoch is None:
-        m = re.search(r"(\d+)", args.checkpoint or "")
+        # Anchor to the epoch token: '--checkpoint ckpt_v2/epoch_30' must
+        # yield 30, not the first digit run in the path ('2').
+        m = re.search(r"epoch[_-]?(\d+)", args.checkpoint or "")
+        if m is None:
+            m = re.search(r"(\d+)(?!.*\d)", args.checkpoint or "")
         epoch = int(m.group(1)) if m else 20
     out_dir = args.out or cfg.DIR
     enc_path, dec_path = save_reference_checkpoints(
