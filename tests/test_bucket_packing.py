@@ -149,3 +149,43 @@ def test_eval_cli_packs_by_default():
     )
     assert proc.returncode == 0, proc.stderr
     assert "--no-pack-buckets" in proc.stdout
+
+
+def test_uploader_thread_unblocks_when_consumer_dies():
+    """Upload pipelining is ON by default: when the consumer loop raises
+    (e.g. a device-worker crash in forward_chunk), the chunk-uploader
+    thread must exit — not stay blocked in queue.put() pinning staged
+    device buffers (round-4 review finding)."""
+    import threading
+    import time
+
+    import pytest
+
+    eng = _make(BatchedInferenceEngine, ())
+    tasks = [(i, np.zeros((1, 16, 16, 3), np.uint8), 16, 16) for i in range(8)]
+
+    def stage_chunk(key, padded):
+        return object()  # stand-in for staged device arrays
+
+    def forward_chunk(key, padded, staged=None):
+        raise RuntimeError("device worker crashed")
+
+    with pytest.raises(RuntimeError, match="device worker crashed"):
+        eng._accumulate_on_device(
+            {i: (16, 16) for i in range(8)},
+            {(16, 16): tasks},
+            {i: 1 for i in range(8)},
+            forward_chunk,
+            lambda i, acc: None,
+            stage_chunk=stage_chunk,
+        )
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if not any(
+            t.name == "chunk-uploader" and t.is_alive()
+            for t in threading.enumerate()
+        ):
+            break
+        time.sleep(0.05)
+    else:
+        raise AssertionError("chunk-uploader thread still alive")
