@@ -1,0 +1,127 @@
+"""Serving CLI — the production inference endpoint.
+
+No reference counterpart (the reference's deployment story ends at the
+``test.py`` batch CLI); this serves segmentation over HTTP with dynamic
+micro-batching (``semseg_tpu/server.py``), from either backend:
+
+  # AOT bundle (tools/export_serving.py output) — no model zoo on the host:
+  python -m semseg_tpu.cli.serve --bundle ./bundle --port 8000
+
+  # Live engine — full 5-scale-TTA eval-protocol quality:
+  python -m semseg_tpu.cli.serve --cfg config/ade20k-resnet50dilated-ppm_deepsup.yaml \
+      TEST.checkpoint epoch_20.pth
+
+  curl -s -X POST --data-binary @img.jpg localhost:8000/segment?format=color > seg.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_backend(args, opts):
+    """Returns (backend with predict_batch, info dict, warmup thunk)."""
+    if args.bundle:
+        from semseg_tpu.serving import Predictor
+
+        backend = Predictor(args.bundle)
+        info = {
+            "backend": "bundle",
+            "bundle": args.bundle,
+            "programs": sorted(
+                f"{b}x{h}x{w}" for (b, h, w) in backend.programs
+            ),
+        }
+
+        def warmup():
+            # One call per exported program: first `.call` compiles; a cold
+            # program would otherwise tax the first unlucky request.
+            for (b, h, w) in backend.programs:
+                backend.predict_batch(
+                    [np.zeros((h, w, 3), np.uint8)] * b
+                )
+
+        return backend, info, warmup
+
+    from semseg_tpu.checkpoint import resolve_reference_checkpoint
+    from semseg_tpu.cli.eval import build_engines
+    from semseg_tpu.config import cfg
+    from semseg_tpu.server import LivePredictor
+    from semseg_tpu.utils.compile_cache import enable_compile_cache
+
+    cfg.merge_from_file(args.cfg)
+    if opts:
+        cfg.merge_from_list(opts)
+    enable_compile_cache(cfg.TPU.compile_cache)
+    resolve_reference_checkpoint(cfg, cfg.TEST.checkpoint)
+    engine = build_engines(cfg, 1)[0]
+    backend = LivePredictor(cfg, engine)
+    info = {
+        "backend": "live",
+        "cfg": args.cfg,
+        "arch": f"{cfg.MODEL.arch_encoder}+{cfg.MODEL.arch_decoder}",
+        "scales": list(cfg.DATASET.imgSizes),
+    }
+
+    def warmup():
+        # Compiles the buckets of ONE representative shape (the canonical
+        # 2:3 val image); other buckets compile lazily per request, off
+        # the persistent XLA cache when warm.
+        backend.predict_batch([np.zeros((512, 683, 3), np.uint8)])
+
+    return backend, info, warmup
+
+
+def main(argv=None):
+    from semseg_tpu.server import MicroBatcher, SegmentationServer
+    from semseg_tpu.utils import setup_logger
+
+    p = argparse.ArgumentParser(description="semseg_tpu serving endpoint")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bundle", help="AOT serving bundle directory")
+    src.add_argument("--cfg", help="model config YAML (live TTA backend)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="batch-size flush threshold (PERF_NOTES sweet spot)")
+    p.add_argument("--max-wait-ms", type=float, default=10.0,
+                   help="deadline flush: max added queueing latency")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the pre-bind compile warmup")
+    p.add_argument("--quiet", action="store_true", help="no access log")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None,
+                   help="cfg overrides (live backend), e.g. TEST.checkpoint …")
+    args = p.parse_args(argv)
+
+    logger = setup_logger()
+    backend, info, warmup = build_backend(args, args.opts)
+    if not args.no_warmup:
+        logger.info("warming up compiled programs…")
+        warmup()
+
+    batcher = MicroBatcher(
+        backend.predict_batch,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server = SegmentationServer(
+        (args.host, args.port), batcher, info=info, quiet=args.quiet
+    )
+    logger.info(
+        f"serving {info['backend']} backend on "
+        f"http://{args.host}:{server.server_address[1]} "
+        f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.server_close()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Production inference server: dynamic micro-batching over HTTP.
+
+The deployment front-end the reference does not have (its ``test.py`` is a
+batch CLI; serving means shipping the Python zoo and paying eager per-image
+dispatch). On TPU the economics force batching: the bucket forwards scale
+230 -> 251 -> 262 img/s at batch 4/8/16 (PERF_NOTES "Batch scaling,
+inference") because the 256-channel stages tile the MXU better with more
+rows — so a serving host must coalesce CONCURRENT requests into batches
+rather than dispatch them one by one. ``MicroBatcher`` does exactly that:
+requests queue, and a single dispatcher thread flushes a batch when either
+``max_batch`` requests are pending or the oldest request has waited
+``max_wait_ms`` (the classic size-or-deadline policy). One dispatcher
+thread also serializes device access, so HTTP threads never contend for
+the device stream.
+
+Backends (anything with ``predict_batch(list[HWC uint8]) -> list[HW int]``):
+  * ``serving.Predictor`` — an AOT StableHLO bundle; no model code, no
+    converter, no flax on the serving host (tools/export_serving.py).
+  * ``LivePredictor`` — the full multi-scale-TTA eval engine
+    (reference eval protocol quality, heavier per request).
+
+HTTP API (stdlib ``http.server``; zero framework dependencies):
+  POST /segment?format=png|color|npy   body = image bytes (JPEG/PNG/...)
+      png (default): lossless uint8 label-map PNG (mode L, 0-based ids)
+      color:         colorEncode'd RGB PNG (the demo palette)
+      npy:           ``np.save`` bytes, int16 labels
+  GET /healthz   liveness + backend info
+  GET /stats     batching counters: requests, batches, mean batch fill,
+                 latency percentiles — the fill number is the knob-tuning
+                 signal for ``max_wait_ms``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["MicroBatcher", "LivePredictor", "SegmentationServer"]
+
+
+class MicroBatcher:
+    """Coalesce concurrent ``submit`` calls into ``predict_batch`` calls.
+
+    Flush policy: a batch launches when ``max_batch`` requests are queued,
+    or when the OLDEST queued request has waited ``max_wait_ms`` —
+    bounding added latency at light load while filling batches under
+    concurrency. All device work happens on the one dispatcher thread.
+    """
+
+    def __init__(self, predict_batch, *, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        assert max_batch >= 1 and max_wait_ms >= 0
+        self._predict_batch = predict_batch
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._queue: deque = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        # counters (under _cond): completed requests / batches / summed fill
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        self._latencies: deque = deque(maxlen=512)  # seconds, completed reqs
+        self._thread = threading.Thread(
+            target=self._run, name="microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, img: np.ndarray) -> Future:
+        """Enqueue one image; resolves to its (H, W) int label map."""
+        fut: Future = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append((img, fut, time.monotonic()))
+            self._cond.notify_all()
+        return fut
+
+    def _take_batch(self):
+        """Block until a batch is due (size or deadline); None = closed."""
+        with self._cond:
+            while not self._queue:
+                if self._closed:
+                    return None
+                self._cond.wait()
+            deadline = self._queue[0][2] + self.max_wait_s
+            while len(self._queue) < self.max_batch and not self._closed:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cond.wait(remaining)
+            n = min(len(self._queue), self.max_batch)
+            if n == 0:  # closed while waiting: close() drained the queue
+                return None
+            return [self._queue.popleft() for _ in range(n)]
+
+    def _run(self):
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            imgs = [img for img, _, _ in batch]
+            try:
+                outs = self._predict_batch(imgs)
+                if len(outs) != len(imgs):
+                    raise RuntimeError(
+                        f"backend returned {len(outs)} results "
+                        f"for {len(imgs)} images"
+                    )
+            except BaseException as e:  # noqa: BLE001 — forwarded to callers
+                with self._cond:
+                    self._n_errors += len(batch)
+                for _, fut, _ in batch:
+                    fut.set_exception(e)
+                continue
+            done = time.monotonic()
+            with self._cond:
+                self._n_requests += len(batch)
+                self._n_batches += 1
+                for _, _, t0 in batch:
+                    self._latencies.append(done - t0)
+            for (_, fut, _), out in zip(batch, outs):
+                fut.set_result(out)
+
+    def stats(self) -> dict:
+        with self._cond:
+            lats = sorted(self._latencies)
+            out = {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "errors": self._n_errors,
+                "queued": len(self._queue),
+                "max_batch": self.max_batch,
+                "max_wait_ms": self.max_wait_s * 1e3,
+                "mean_batch_fill": (
+                    self._n_requests / self._n_batches
+                    if self._n_batches else 0.0
+                ),
+            }
+        if lats:
+            out["latency_ms_p50"] = 1e3 * lats[len(lats) // 2]
+            out["latency_ms_p95"] = 1e3 * lats[int(len(lats) * 0.95)
+                                               if len(lats) > 1 else 0]
+        return out
+
+    def close(self):
+        """Stop the dispatcher; queued-but-unflushed requests are failed."""
+        with self._cond:
+            self._closed = True
+            pending = list(self._queue)
+            self._queue.clear()
+            self._cond.notify_all()
+        for _, fut, _ in pending:
+            fut.set_exception(RuntimeError("MicroBatcher closed"))
+        self._thread.join()
+
+
+class LivePredictor:
+    """``predict_batch`` over the live eval engine (full multi-scale TTA).
+
+    Serving-quality trade vs an AOT bundle: the bundle runs ONE scale per
+    request (the reference ``test.py`` single-pass protocol); this runs the
+    5-scale TTA protocol (reference ``eval.py``) through
+    ``BatchedInferenceEngine.batched_predict`` — higher mIoU, ~5x the
+    FLOPs. Pyramids are built with the exact dataset transforms (same
+    lattice, same Pillow-bit-exact resampling), raw-uint8 transport.
+    """
+
+    def __init__(self, cfg_node, engine):
+        from semseg_tpu.data import TestDataset
+
+        self._engine = engine
+        # Empty file list: used only for its in-memory pyramid builder.
+        self._ds = TestDataset(
+            [], cfg_node.DATASET,
+            device_preprocess=True,
+            bucket_step=cfg_node.TPU.eval_bucket_step,
+        )
+
+    def predict_batch(self, imgs):
+        items = [
+            self._ds.multi_scale_pyramid(img, raw=True) for img in imgs
+        ]
+        seg_sizes = [img.shape[:2] for img in imgs]
+        return self._engine.batched_predict(items, seg_sizes)
+
+
+_MAX_BODY = 64 << 20  # request images are photos, not datasets
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # The server is long-lived; keep per-request log lines to the access log
+    # style (BaseHTTPRequestHandler default), silenceable via quiet=True.
+    def log_message(self, fmt, *args):
+        if not self.server.quiet:  # type: ignore[attr-defined]
+            super().log_message(fmt, *args)
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj: dict):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send_json(200, {"status": "ok", **self.server.info})
+        elif path == "/stats":
+            self._send_json(200, self.server.batcher.stats())
+        else:
+            self._send_json(404, {"error": f"no route {path}"})
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        url = urlparse(self.path)
+        if url.path != "/segment":
+            self._send_json(404, {"error": f"no route {url.path}"})
+            return
+        fmt = parse_qs(url.query).get("format", ["png"])[0]
+        if fmt not in ("png", "color", "npy"):
+            self._send_json(400, {"error": f"unknown format {fmt!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        if length <= 0:
+            self._send_json(400, {"error": "empty body"})
+            return
+        if length > _MAX_BODY:
+            self._send_json(413, {"error": "body too large"})
+            return
+        body = self.rfile.read(length)
+
+        from PIL import Image
+
+        try:
+            img = np.asarray(
+                Image.open(io.BytesIO(body)).convert("RGB"), np.uint8
+            )
+        except Exception as e:  # noqa: BLE001 — client data
+            self._send_json(400, {"error": f"cannot decode image: {e}"})
+            return
+
+        try:
+            pred = self.server.batcher.submit(img).result()
+        except Exception as e:  # noqa: BLE001 — backend failure -> 500
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+
+        if fmt == "npy":
+            buf = io.BytesIO()
+            np.save(buf, pred.astype(np.int16), allow_pickle=False)
+            self._send(200, buf.getvalue(), "application/x-npy")
+            return
+        if fmt == "color":
+            from semseg_tpu.utils import colorEncode
+
+            arr = colorEncode(pred, mode="RGB").astype(np.uint8)
+        else:  # lossless label map: ids < 150 fit uint8 exactly
+            arr = pred.astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        self._send(200, buf.getvalue(), "image/png")
+
+
+class SegmentationServer(ThreadingHTTPServer):
+    """HTTP front-end bound to a MicroBatcher.
+
+    ``ThreadingHTTPServer`` gives one thread per connection — those threads
+    only decode/encode images and block on futures; ALL device work funnels
+    through the batcher's single dispatcher thread.
+    """
+
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: MicroBatcher, *, info: dict = None,
+                 quiet: bool = False):
+        self.batcher = batcher
+        self.info = dict(info or {})
+        self.quiet = quiet
+        super().__init__(addr, _Handler)
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def close(self):
+        self.shutdown()
+        self.server_close()
+        self.batcher.close()

@@ -1,0 +1,300 @@
+"""Serving endpoint: micro-batcher semantics + HTTP round trips
+(semseg_tpu/server.py, cli/serve.py)."""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from semseg_tpu.server import MicroBatcher, SegmentationServer
+
+
+def _red_channel_backend(calls=None, delay=0.0):
+    """Stub predict_batch: label map = red channel (identity-checkable)."""
+
+    def predict_batch(imgs):
+        if calls is not None:
+            calls.append(len(imgs))
+        if delay:
+            time.sleep(delay)
+        return [img[:, :, 0].astype(np.int64) for img in imgs]
+
+    return predict_batch
+
+
+def _img(rng, h=8, w=10):
+    return rng.randint(0, 150, (h, w, 3)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- batcher
+
+
+def test_batcher_results_match_backend_in_order(rng):
+    mb = MicroBatcher(_red_channel_backend(), max_batch=4, max_wait_ms=5)
+    try:
+        imgs = [_img(rng, 6 + i, 9) for i in range(10)]
+        futs = [mb.submit(im) for im in imgs]
+        for im, f in zip(imgs, futs):
+            np.testing.assert_array_equal(f.result(timeout=10), im[:, :, 0])
+    finally:
+        mb.close()
+
+
+def test_batcher_coalesces_under_load(rng):
+    calls = []
+    # Slow backend so the queue builds while batch 1 runs; every flush
+    # after the first must then fill to max_batch.
+    mb = MicroBatcher(
+        _red_channel_backend(calls, delay=0.05), max_batch=4, max_wait_ms=30
+    )
+    try:
+        futs = [mb.submit(_img(rng)) for _ in range(16)]
+        for f in futs:
+            f.result(timeout=30)
+    finally:
+        mb.close()
+    assert sum(calls) == 16
+    assert all(c <= 4 for c in calls)
+    assert len(calls) < 16, "no coalescing happened"
+    stats = mb.stats()
+    assert stats["requests"] == 16
+    assert stats["mean_batch_fill"] == pytest.approx(16 / len(calls))
+    assert stats["latency_ms_p50"] > 0
+
+
+def test_batcher_deadline_flush_at_light_load(rng):
+    """A single request must not wait for max_batch peers."""
+    mb = MicroBatcher(_red_channel_backend(), max_batch=64, max_wait_ms=20)
+    try:
+        t0 = time.monotonic()
+        mb.submit(_img(rng)).result(timeout=10)
+        assert time.monotonic() - t0 < 5  # deadline, not starvation
+        assert mb.stats()["batches"] == 1
+    finally:
+        mb.close()
+
+
+def test_batcher_error_propagates_and_recovers(rng):
+    state = {"fail": True}
+
+    def predict_batch(imgs):
+        if state["fail"]:
+            state["fail"] = False
+            raise ValueError("boom")
+        return [im[:, :, 0].astype(np.int64) for im in imgs]
+
+    mb = MicroBatcher(predict_batch, max_batch=2, max_wait_ms=5)
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            mb.submit(_img(rng)).result(timeout=10)
+        # The dispatcher must survive the failed batch.
+        im = _img(rng)
+        np.testing.assert_array_equal(
+            mb.submit(im).result(timeout=10), im[:, :, 0]
+        )
+        assert mb.stats()["errors"] == 1
+    finally:
+        mb.close()
+
+
+def test_batcher_close_fails_pending_and_rejects_new(rng):
+    started = threading.Event()
+
+    def slow(imgs):
+        started.set()
+        time.sleep(0.3)
+        return [im[:, :, 0].astype(np.int64) for im in imgs]
+
+    mb = MicroBatcher(slow, max_batch=1, max_wait_ms=0)
+    running = mb.submit(_img(rng))
+    started.wait(5)
+    queued = mb.submit(_img(rng))  # sits in the queue behind `running`
+    mb.close()
+    # In-flight work completes; queued-but-unflushed work fails loudly.
+    assert running.result(timeout=10).shape == (8, 10)
+    with pytest.raises(RuntimeError, match="closed"):
+        queued.result(timeout=10)
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(_img(rng))
+
+
+def test_batcher_wrong_result_count_is_an_error(rng):
+    mb = MicroBatcher(lambda imgs: [], max_batch=2, max_wait_ms=5)
+    try:
+        with pytest.raises(RuntimeError, match="0 results"):
+            mb.submit(_img(rng)).result(timeout=10)
+    finally:
+        mb.close()
+
+
+# ------------------------------------------------------------------ HTTP
+
+
+@pytest.fixture
+def http_server(rng):
+    mb = MicroBatcher(_red_channel_backend(), max_batch=4, max_wait_ms=5)
+    srv = SegmentationServer(
+        ("127.0.0.1", 0), mb, info={"backend": "stub"}, quiet=True
+    )
+    srv.serve_background()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.close()
+
+
+def _post(url, data, timeout=30):
+    req = urllib.request.Request(url, data=data, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _png_bytes(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_segment_png_round_trip(http_server, rng):
+    from PIL import Image
+
+    img = _img(rng, 12, 7)
+    resp = _post(http_server + "/segment", _png_bytes(img))
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/png"
+    got = np.asarray(Image.open(io.BytesIO(resp.read())))
+    np.testing.assert_array_equal(got, img[:, :, 0])
+
+
+def test_http_segment_npy_and_color(http_server, rng):
+    from PIL import Image
+
+    from semseg_tpu.utils import colorEncode
+
+    img = _img(rng, 9, 11)
+    raw = np.load(
+        io.BytesIO(_post(http_server + "/segment?format=npy",
+                         _png_bytes(img)).read())
+    )
+    assert raw.dtype == np.int16
+    np.testing.assert_array_equal(raw, img[:, :, 0])
+
+    resp = _post(http_server + "/segment?format=color", _png_bytes(img))
+    got = np.asarray(Image.open(io.BytesIO(resp.read())))
+    want = colorEncode(img[:, :, 0].astype(np.int64), mode="RGB")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_http_healthz_and_stats(http_server, rng):
+    health = json.load(urllib.request.urlopen(http_server + "/healthz"))
+    assert health["status"] == "ok" and health["backend"] == "stub"
+
+    _post(http_server + "/segment", _png_bytes(_img(rng))).read()
+    stats = json.load(urllib.request.urlopen(http_server + "/stats"))
+    assert stats["requests"] >= 1 and stats["batches"] >= 1
+
+
+def test_http_error_statuses(http_server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/segment", b"not an image")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/segment?format=bmp", b"x")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http_server + "/segment", b"")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(http_server + "/nope")
+    assert e.value.code == 404
+
+
+def test_http_concurrent_requests_batch_on_device(http_server, rng):
+    """N parallel HTTP clients end up coalesced by the one dispatcher."""
+    imgs = [_img(rng, 8, 8) for _ in range(8)]
+    outs = [None] * 8
+
+    def post(i):
+        from PIL import Image
+
+        resp = _post(http_server + "/segment", _png_bytes(imgs[i]))
+        outs[i] = np.asarray(Image.open(io.BytesIO(resp.read())))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for img, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, img[:, :, 0])
+
+
+# ------------------------------------------------- real-bundle integration
+
+
+def test_server_over_aot_bundle(tmp_path, rng):
+    """End-to-end: exported StableHLO bundle behind the HTTP endpoint."""
+    import jax.numpy as jnp
+
+    from semseg_tpu.config import cfg
+    from semseg_tpu.models import ModelBuilder, init_variables
+    from semseg_tpu.serving import Predictor, export_bundle
+
+    c = cfg.clone()
+    c.MODEL.arch_encoder = "mobilenetv2dilated"
+    c.MODEL.arch_decoder = "c1_deepsup"
+    c.MODEL.fc_dim = 320
+    model = ModelBuilder.build_model(c, dtype=jnp.float32)
+    variables = init_variables(model, seed=0, image_size=(64, 64))
+    out = str(tmp_path / "bundle")
+    export_bundle(model, variables, out, shapes=[(64, 64)], batch_size=2)
+
+    pred = Predictor(out)
+    mb = MicroBatcher(pred.predict_batch, max_batch=2, max_wait_ms=10)
+    srv = SegmentationServer(("127.0.0.1", 0), mb, quiet=True)
+    srv.serve_background()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+        raw = np.load(
+            io.BytesIO(
+                _post(url + "/segment?format=npy", _png_bytes(img)).read()
+            )
+        )
+        np.testing.assert_array_equal(raw, pred.predict(img).astype(np.int16))
+    finally:
+        srv.close()
+
+
+def test_serve_cli_builds_bundle_backend(tmp_path, rng):
+    """cli/serve.py backend construction + warmup on a real bundle."""
+    import jax.numpy as jnp
+
+    from semseg_tpu.cli.serve import build_backend
+    from semseg_tpu.config import cfg
+    from semseg_tpu.models import ModelBuilder, init_variables
+    from semseg_tpu.serving import export_bundle
+
+    c = cfg.clone()
+    c.MODEL.arch_encoder = "mobilenetv2dilated"
+    c.MODEL.arch_decoder = "c1_deepsup"
+    c.MODEL.fc_dim = 320
+    model = ModelBuilder.build_model(c, dtype=jnp.float32)
+    variables = init_variables(model, seed=0, image_size=(64, 64))
+    out = str(tmp_path / "bundle")
+    export_bundle(model, variables, out, shapes=[(64, 64)], batch_size=1)
+
+    import argparse
+
+    args = argparse.Namespace(bundle=out, cfg=None)
+    backend, info, warmup = build_backend(args, [])
+    assert info["backend"] == "bundle" and info["programs"] == ["1x64x64"]
+    warmup()  # compiles the one program; must not raise
+    got = backend.predict_batch([rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)])
+    assert got[0].shape == (64, 64)
