@@ -56,7 +56,11 @@ def build_backend(args, opts):
         cfg.merge_from_list(opts)
     enable_compile_cache(cfg.TPU.compile_cache)
     resolve_reference_checkpoint(cfg, cfg.TEST.checkpoint)
-    engine = build_engines(cfg, 1)[0]
+    # batch>1 selects BatchedInferenceEngine (LivePredictor requires its
+    # batched_predict); pack_buckets folds under-filled request batches.
+    engine = build_engines(
+        cfg, 1, batch=max(2, args.max_batch), pack_buckets=True
+    )[0]
     backend = LivePredictor(cfg, engine)
     info = {
         "backend": "live",

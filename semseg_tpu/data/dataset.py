@@ -108,8 +108,15 @@ def parse_odgt(odgt, max_sample=-1, start_idx=-1, end_idx=-1) -> List[dict]:
     return samples
 
 
-class BaseDataset:
-    def __init__(self, odgt, opt, *, bucket_step: Optional[int] = None, **kwargs):
+class PyramidBuilder:
+    """In-memory multi-scale pyramid transforms — no manifest required.
+
+    The dataset classes inherit this; consumers that segment images that
+    never touch a manifest (the serving endpoint's live backend) construct
+    it directly from ``cfg.DATASET``.
+    """
+
+    def __init__(self, opt, *, bucket_step: Optional[int] = None):
         self.imgSizes = opt.imgSizes
         self.imgMaxSize = opt.imgMaxSize
         self.padding_constant = opt.padding_constant
@@ -123,8 +130,6 @@ class BaseDataset:
         # exactly the approximation the reference already makes — just a
         # marginally different sampling grid.
         self.eval_bucket_step = bucket_step
-        self.list_sample = parse_odgt(odgt, **kwargs)
-        self.num_sample = len(self.list_sample)
 
     def multi_scale_pyramid(self, img, *, raw: bool = False) -> List[np.ndarray]:
         """Per-scale resized copies, each (1, H, W, 3).
@@ -169,6 +174,13 @@ class BaseDataset:
             else:
                 out.append(img_transform(resized)[None])
         return out
+
+
+class BaseDataset(PyramidBuilder):
+    def __init__(self, odgt, opt, *, bucket_step: Optional[int] = None, **kwargs):
+        super().__init__(opt, bucket_step=bucket_step)
+        self.list_sample = parse_odgt(odgt, **kwargs)
+        self.num_sample = len(self.list_sample)
 
 
 class TrainDataset(BaseDataset):

@@ -175,14 +175,17 @@ class LivePredictor:
     """
 
     def __init__(self, cfg_node, engine):
-        from semseg_tpu.data import TestDataset
+        from semseg_tpu.data.dataset import PyramidBuilder
 
+        # Caught live by the first verify drive: the plain InferenceEngine
+        # has no batched_predict — fail at construction, not per request.
+        assert hasattr(engine, "batched_predict"), (
+            "LivePredictor needs a BatchedInferenceEngine "
+            "(build_engines(..., batch>1))"
+        )
         self._engine = engine
-        # Empty file list: used only for its in-memory pyramid builder.
-        self._ds = TestDataset(
-            [], cfg_node.DATASET,
-            device_preprocess=True,
-            bucket_step=cfg_node.TPU.eval_bucket_step,
+        self._ds = PyramidBuilder(
+            cfg_node.DATASET, bucket_step=cfg_node.TPU.eval_bucket_step
         )
 
     def predict_batch(self, imgs):
