@@ -56,11 +56,15 @@ def make_backend(args):
         from semseg_tpu.engine import BatchedInferenceEngine
         from semseg_tpu.server import LivePredictor
 
+        # Same lattice the deployed CLI wires (build_engines asserts the
+        # engine's grouping lattice == the pyramid's resize lattice) — a
+        # mismatch would bill padding FLOPs the real server never pays.
         engine = BatchedInferenceEngine(
             model, variables,
             num_class=150,
             output_stride=c.DATASET.segm_downsampling_rate,
-            bucket_step=32,
+            bucket_step=c.TPU.eval_bucket_step,
+            padding_constant=c.DATASET.padding_constant,
             batch_size=args.batch,
             fetch_dtype="bfloat16",
             pack_buckets=True,
@@ -79,6 +83,44 @@ def _percentiles(lat):
     return {
         "lat_ms_p50": round(1e3 * lat[len(lat) // 2], 1),
         "lat_ms_p95": round(1e3 * lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
+    }
+
+
+def _run_clients(do_request, mb, conc, n):
+    """Shared load harness: warm up, zero the batcher's counters (the
+    fill-1 warmup batch would skew mean_batch_fill — the tuning signal),
+    then drive ``n`` requests from ``conc`` client threads."""
+    do_request()  # warmup: compile + caches
+    mb.reset_stats()
+    lat = []
+    lock = threading.Lock()
+    it = iter(range(n))
+
+    def client():
+        while True:
+            with lock:
+                try:
+                    next(it)
+                except StopIteration:
+                    return
+            t0 = time.perf_counter()
+            do_request()
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client) for _ in range(conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return {
+        "concurrency": conc,
+        "req_per_s": round(n / wall, 2),
+        **_percentiles(lat),
+        "mean_batch_fill": round(mb.stats()["mean_batch_fill"], 2),
     }
 
 
@@ -107,39 +149,7 @@ def bench_http(backend, args, conc):
             req = urllib.request.Request(url, data=body, method="POST")
             urllib.request.urlopen(req, timeout=600).read()
 
-        post()  # warmup: compile + caches
-        n = args.requests
-        lat = []
-        lock = threading.Lock()
-        it = iter(range(n))
-
-        def client():
-            while True:
-                with lock:
-                    try:
-                        next(it)
-                    except StopIteration:
-                        return
-                t0 = time.perf_counter()
-                post()
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
-
-        t0 = time.perf_counter()
-        threads = [threading.Thread(target=client) for _ in range(conc)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
-        stats = mb.stats()
-        return {
-            "concurrency": conc,
-            "req_per_s": round(n / wall, 2),
-            **_percentiles(lat),
-            "mean_batch_fill": round(stats["mean_batch_fill"], 2),
-        }
+        return _run_clients(post, mb, conc, args.requests)
     finally:
         srv.close()
 
@@ -154,39 +164,9 @@ def bench_direct(backend, args, conc):
         h, w = args.shape
         rng = np.random.RandomState(0)
         img = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
-        mb.submit(img).result()  # warmup
-        n = args.requests
-        lat = []
-        lock = threading.Lock()
-        it = iter(range(n))
-
-        def client():
-            while True:
-                with lock:
-                    try:
-                        next(it)
-                    except StopIteration:
-                        return
-                t0 = time.perf_counter()
-                mb.submit(img).result()
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
-
-        t0 = time.perf_counter()
-        threads = [threading.Thread(target=client) for _ in range(conc)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
-        stats = mb.stats()
-        return {
-            "concurrency": conc,
-            "req_per_s": round(n / wall, 2),
-            **_percentiles(lat),
-            "mean_batch_fill": round(stats["mean_batch_fill"], 2),
-        }
+        return _run_clients(
+            lambda: mb.submit(img).result(), mb, conc, args.requests
+        )
     finally:
         mb.close()
 

@@ -24,6 +24,11 @@ import numpy as np
 def build_backend(args, opts):
     """Returns (backend with predict_batch, info dict, warmup thunk)."""
     if args.bundle:
+        if opts:
+            raise SystemExit(
+                f"cfg overrides {opts} have no effect with --bundle "
+                "(the bundle is already a compiled artifact)"
+            )
         from semseg_tpu.serving import Predictor
 
         backend = Predictor(args.bundle)
@@ -92,6 +97,11 @@ def main(argv=None):
                    help="batch-size flush threshold (PERF_NOTES sweet spot)")
     p.add_argument("--max-wait-ms", type=float, default=10.0,
                    help="deadline flush: max added queueing latency")
+    p.add_argument("--max-queue", type=int, default=128,
+                   help="admission control: pending requests beyond this "
+                        "are rejected with 503")
+    p.add_argument("--request-timeout-s", type=float, default=300.0,
+                   help="per-request prediction deadline (504 past it)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the pre-bind compile warmup")
     p.add_argument("--quiet", action="store_true", help="no access log")
@@ -109,9 +119,11 @@ def main(argv=None):
         backend.predict_batch,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
     )
     server = SegmentationServer(
-        (args.host, args.port), batcher, info=info, quiet=args.quiet
+        (args.host, args.port), batcher, info=info, quiet=args.quiet,
+        request_timeout_s=args.request_timeout_s,
     )
     logger.info(
         f"serving {info['backend']} backend on "

@@ -38,12 +38,19 @@ import threading
 import time
 from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-__all__ = ["MicroBatcher", "LivePredictor", "SegmentationServer"]
+__all__ = [
+    "MicroBatcher", "LivePredictor", "SegmentationServer", "QueueFull",
+]
+
+
+class QueueFull(RuntimeError):
+    """Admission control: the batcher's queue is at capacity (HTTP 503)."""
 
 
 class MicroBatcher:
@@ -53,13 +60,18 @@ class MicroBatcher:
     or when the OLDEST queued request has waited ``max_wait_ms`` —
     bounding added latency at light load while filling batches under
     concurrency. All device work happens on the one dispatcher thread.
+
+    Admission control: at most ``max_queue`` requests may be pending;
+    beyond that ``submit`` raises :class:`QueueFull` so sustained overload
+    sheds load (HTTP 503) instead of growing memory without bound.
     """
 
     def __init__(self, predict_batch, *, max_batch: int = 8,
-                 max_wait_ms: float = 10.0):
-        assert max_batch >= 1 and max_wait_ms >= 0
+                 max_wait_ms: float = 10.0, max_queue: int = 128):
+        assert max_batch >= 1 and max_wait_ms >= 0 and max_queue >= 1
         self._predict_batch = predict_batch
         self.max_batch = int(max_batch)
+        self.max_queue = int(max_queue)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._queue: deque = deque()
         self._cond = threading.Condition()
@@ -68,6 +80,7 @@ class MicroBatcher:
         self._n_requests = 0
         self._n_batches = 0
         self._n_errors = 0
+        self._n_rejected = 0
         self._latencies: deque = deque(maxlen=512)  # seconds, completed reqs
         self._thread = threading.Thread(
             target=self._run, name="microbatcher", daemon=True
@@ -80,6 +93,12 @@ class MicroBatcher:
         with self._cond:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            if len(self._queue) >= self.max_queue:
+                self._n_rejected += 1
+                raise QueueFull(
+                    f"{len(self._queue)} requests already queued "
+                    f"(max_queue={self.max_queue})"
+                )
             self._queue.append((img, fut, time.monotonic()))
             self._cond.notify_all()
         return fut
@@ -137,8 +156,10 @@ class MicroBatcher:
                 "requests": self._n_requests,
                 "batches": self._n_batches,
                 "errors": self._n_errors,
+                "rejected": self._n_rejected,
                 "queued": len(self._queue),
                 "max_batch": self.max_batch,
+                "max_queue": self.max_queue,
                 "max_wait_ms": self.max_wait_s * 1e3,
                 "mean_batch_fill": (
                     self._n_requests / self._n_batches
@@ -150,6 +171,14 @@ class MicroBatcher:
             out["latency_ms_p95"] = 1e3 * lats[int(len(lats) * 0.95)
                                                if len(lats) > 1 else 0]
         return out
+
+    def reset_stats(self):
+        """Zero the counters/latency window (e.g. after a warmup request,
+        whose fill-1 batch would skew the tuning signal)."""
+        with self._cond:
+            self._n_requests = self._n_batches = 0
+            self._n_errors = self._n_rejected = 0
+            self._latencies.clear()
 
     def close(self):
         """Stop the dispatcher; queued-but-unflushed requests are failed."""
@@ -200,6 +229,10 @@ _MAX_BODY = 64 << 20  # request images are photos, not datasets
 
 
 class _Handler(BaseHTTPRequestHandler):
+    # Socket read timeout: a client that sends Content-Length N but fewer
+    # body bytes (slow-loris) must release its handler thread, not leak it.
+    timeout = 60
+
     # The server is long-lived; keep per-request log lines to the access log
     # style (BaseHTTPRequestHandler default), silenceable via quiet=True.
     def log_message(self, fmt, *args):
@@ -244,7 +277,14 @@ class _Handler(BaseHTTPRequestHandler):
         if length > _MAX_BODY:
             self._send_json(413, {"error": "body too large"})
             return
-        body = self.rfile.read(length)
+        try:
+            body = self.rfile.read(length)
+        except (TimeoutError, OSError):
+            return  # truncated/stalled body: nothing sane to answer on
+
+        if len(body) < length:
+            self._send_json(400, {"error": "truncated body"})
+            return
 
         from PIL import Image
 
@@ -257,7 +297,19 @@ class _Handler(BaseHTTPRequestHandler):
             return
 
         try:
-            pred = self.server.batcher.submit(img).result()
+            pred = self.server.batcher.submit(img).result(
+                timeout=self.server.request_timeout_s
+            )
+        except QueueFull as e:  # overload: shed, don't grow
+            self._send_json(503, {"error": str(e)})
+            return
+        except FuturesTimeout:  # wedged backend: fail THIS request loudly
+            self._send_json(
+                504,
+                {"error": "prediction timed out "
+                          f"({self.server.request_timeout_s}s)"},
+            )
+            return
         except Exception as e:  # noqa: BLE001 — backend failure -> 500
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -289,10 +341,14 @@ class SegmentationServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, batcher: MicroBatcher, *, info: dict = None,
-                 quiet: bool = False):
+                 quiet: bool = False, request_timeout_s: float = 300.0):
         self.batcher = batcher
         self.info = dict(info or {})
         self.quiet = quiet
+        # Bounds fut.result() so a wedged device runtime turns into 504s
+        # (while /healthz keeps answering) instead of silently parking
+        # every handler thread forever.
+        self.request_timeout_s = request_timeout_s
         super().__init__(addr, _Handler)
 
     def serve_background(self) -> threading.Thread:

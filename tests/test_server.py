@@ -11,7 +11,7 @@ import urllib.request
 import numpy as np
 import pytest
 
-from semseg_tpu.server import MicroBatcher, SegmentationServer
+from semseg_tpu.server import MicroBatcher, QueueFull, SegmentationServer
 
 
 def _red_channel_backend(calls=None, delay=0.0):
@@ -132,6 +132,44 @@ def test_batcher_wrong_result_count_is_an_error(rng):
         mb.close()
 
 
+def test_batcher_admission_control(rng):
+    gate = threading.Event()
+    started = threading.Event()
+
+    def blocked(imgs):
+        started.set()
+        gate.wait(10)
+        return [im[:, :, 0].astype(np.int64) for im in imgs]
+
+    mb = MicroBatcher(blocked, max_batch=1, max_wait_ms=0, max_queue=2)
+    try:
+        running = mb.submit(_img(rng))   # taken by the dispatcher
+        started.wait(5)
+        queued = [mb.submit(_img(rng)) for _ in range(2)]  # fills the queue
+        with pytest.raises(QueueFull, match="max_queue=2"):
+            mb.submit(_img(rng))
+        assert mb.stats()["rejected"] == 1
+        gate.set()                        # drain; accepted work completes
+        for f in [running] + queued:
+            assert f.result(timeout=10).shape == (8, 10)
+    finally:
+        gate.set()
+        mb.close()
+
+
+def test_batcher_reset_stats(rng):
+    mb = MicroBatcher(_red_channel_backend(), max_batch=2, max_wait_ms=5)
+    try:
+        mb.submit(_img(rng)).result(timeout=10)
+        assert mb.stats()["requests"] == 1
+        mb.reset_stats()
+        s = mb.stats()
+        assert s["requests"] == 0 and s["batches"] == 0
+        assert "latency_ms_p50" not in s
+    finally:
+        mb.close()
+
+
 # ------------------------------------------------------------------ HTTP
 
 
@@ -213,6 +251,62 @@ def test_http_error_statuses(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(http_server + "/nope")
     assert e.value.code == 404
+
+
+class _StuntBatcher:
+    """Stand-in batcher driving the handler's overload/timeout branches."""
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def submit(self, img):
+        if self.mode == "full":
+            raise QueueFull("7 requests already queued (max_queue=4)")
+        from concurrent.futures import Future
+
+        return Future()  # never resolves -> handler 504s on its deadline
+
+    def stats(self):
+        return {}
+
+    def close(self):
+        pass
+
+
+@pytest.mark.parametrize("mode,code", [("full", 503), ("hang", 504)])
+def test_http_overload_and_timeout_statuses(mode, code, rng):
+    srv = SegmentationServer(
+        ("127.0.0.1", 0), _StuntBatcher(mode), quiet=True,
+        request_timeout_s=0.2,
+    )
+    srv.serve_background()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/segment"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, _png_bytes(_img(rng)))
+        assert e.value.code == code
+    finally:
+        srv.close()
+
+
+def test_http_truncated_body_releases_thread(http_server, rng):
+    """Content-Length lies, client half-closes: 400, and the server keeps
+    serving (the handler thread is not parked on rfile.read)."""
+    import socket
+
+    host, port = http_server.rsplit(":", 1)[0][7:], int(http_server.rsplit(":", 1)[1])
+    s = socket.create_connection((host, port), timeout=10)
+    s.sendall(
+        b"POST /segment HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 1000\r\n\r\nonly-a-few-bytes"
+    )
+    s.shutdown(socket.SHUT_WR)
+    reply = s.recv(4096)
+    s.close()
+    assert b"400" in reply.split(b"\r\n", 1)[0]
+    # Server still answers real requests afterwards.
+    resp = _post(http_server + "/segment", _png_bytes(_img(rng)))
+    assert resp.status == 200
 
 
 def test_http_concurrent_requests_batch_on_device(http_server, rng):
