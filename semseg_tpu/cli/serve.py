@@ -21,34 +21,44 @@ import argparse
 import numpy as np
 
 
-def build_backend(args, opts):
-    """Returns (backend with predict_batch, info dict, warmup thunk)."""
+def build_backends(args, opts):
+    """Returns (list of predict_batch backends, info dict, warmup thunk).
+
+    ``--devices N`` > 1 builds one backend per chip; the MicroBatcher runs
+    one dispatcher thread per backend off the shared queue (single-process
+    multi-chip serving — thread-per-engine dispatch measured GIL-clean,
+    PERF_NOTES "Multi-engine eval dispatch").
+    """
+    n_devices = getattr(args, "devices", 1) or 1
     if args.bundle:
         if opts:
             raise SystemExit(
                 f"cfg overrides {opts} have no effect with --bundle "
                 "(the bundle is already a compiled artifact)"
             )
+        import jax
+
         from semseg_tpu.serving import Predictor
 
-        backend = Predictor(args.bundle)
+        devices = jax.devices()[:n_devices]
+        backends = [Predictor(args.bundle, device=d) for d in devices]
         info = {
             "backend": "bundle",
             "bundle": args.bundle,
+            "devices": len(backends),
             "programs": sorted(
-                f"{b}x{h}x{w}" for (b, h, w) in backend.programs
+                f"{b}x{h}x{w}" for (b, h, w) in backends[0].programs
             ),
         }
 
         def warmup():
-            # One call per exported program: first `.call` compiles; a cold
-            # program would otherwise tax the first unlucky request.
-            for (b, h, w) in backend.programs:
-                backend.predict_batch(
-                    [np.zeros((h, w, 3), np.uint8)] * b
-                )
+            # One call per exported program per device: first `.call`
+            # compiles; a cold program would tax the first unlucky request.
+            for be in backends:
+                for (b, h, w) in be.programs:
+                    be.predict_batch([np.zeros((h, w, 3), np.uint8)] * b)
 
-        return backend, info, warmup
+        return backends, info, warmup
 
     from semseg_tpu.checkpoint import resolve_reference_checkpoint
     from semseg_tpu.cli.eval import build_engines
@@ -63,24 +73,32 @@ def build_backend(args, opts):
     resolve_reference_checkpoint(cfg, cfg.TEST.checkpoint)
     # batch>1 selects BatchedInferenceEngine (LivePredictor requires its
     # batched_predict); pack_buckets folds under-filled request batches.
-    engine = build_engines(
-        cfg, 1, batch=max(2, args.max_batch), pack_buckets=True
-    )[0]
-    backend = LivePredictor(cfg, engine)
+    engines = build_engines(
+        cfg, n_devices, batch=max(2, args.max_batch), pack_buckets=True
+    )
+    backends = [LivePredictor(cfg, e) for e in engines]
     info = {
         "backend": "live",
         "cfg": args.cfg,
         "arch": f"{cfg.MODEL.arch_encoder}+{cfg.MODEL.arch_decoder}",
+        "devices": len(backends),
         "scales": list(cfg.DATASET.imgSizes),
     }
 
     def warmup():
         # Compiles the buckets of ONE representative shape (the canonical
-        # 2:3 val image); other buckets compile lazily per request, off
-        # the persistent XLA cache when warm.
-        backend.predict_batch([np.zeros((512, 683, 3), np.uint8)])
+        # 2:3 val image) per device; other buckets compile lazily per
+        # request, off the persistent XLA cache when warm.
+        for be in backends:
+            be.predict_batch([np.zeros((512, 683, 3), np.uint8)])
 
-    return backend, info, warmup
+    return backends, info, warmup
+
+
+def build_backend(args, opts):
+    """Single-backend convenience wrapper (kept for tests/embedding)."""
+    backends, info, warmup = build_backends(args, opts)
+    return backends[0], info, warmup
 
 
 def main(argv=None):
@@ -93,6 +111,9 @@ def main(argv=None):
     src.add_argument("--cfg", help="model config YAML (live TTA backend)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--devices", type=int, default=1,
+                   help="serve from the first N chips (one dispatcher "
+                        "thread per chip off the shared request queue)")
     p.add_argument("--max-batch", type=int, default=8,
                    help="batch-size flush threshold (PERF_NOTES sweet spot)")
     p.add_argument("--max-wait-ms", type=float, default=10.0,
@@ -110,13 +131,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     logger = setup_logger()
-    backend, info, warmup = build_backend(args, args.opts)
+    backends, info, warmup = build_backends(args, args.opts)
     if not args.no_warmup:
         logger.info("warming up compiled programs…")
         warmup()
 
     batcher = MicroBatcher(
-        backend.predict_batch,
+        [b.predict_batch for b in backends],
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue,
@@ -126,7 +147,7 @@ def main(argv=None):
         request_timeout_s=args.request_timeout_s,
     )
     logger.info(
-        f"serving {info['backend']} backend on "
+        f"serving {info['backend']} backend ({len(backends)} device(s)) on "
         f"http://{args.host}:{server.server_address[1]} "
         f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})"
     )

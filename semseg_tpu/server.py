@@ -64,12 +64,23 @@ class MicroBatcher:
     Admission control: at most ``max_queue`` requests may be pending;
     beyond that ``submit`` raises :class:`QueueFull` so sustained overload
     sheds load (HTTP 503) instead of growing memory without bound.
+
+    Multi-device: pass a LIST of ``predict_batch`` callables (one per
+    chip) and one dispatcher thread runs per backend, all pulling batches
+    off the shared queue — single-process multi-chip serving, the same
+    thread-per-engine dispatch the eval CLI uses (measured GIL-clean up
+    to 8 engines, PERF_NOTES "Multi-engine eval dispatch").
     """
 
     def __init__(self, predict_batch, *, max_batch: int = 8,
                  max_wait_ms: float = 10.0, max_queue: int = 128):
         assert max_batch >= 1 and max_wait_ms >= 0 and max_queue >= 1
-        self._predict_batch = predict_batch
+        backends = (
+            list(predict_batch)
+            if isinstance(predict_batch, (list, tuple))
+            else [predict_batch]
+        )
+        assert backends, "need at least one backend"
         self.max_batch = int(max_batch)
         self.max_queue = int(max_queue)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -81,11 +92,17 @@ class MicroBatcher:
         self._n_batches = 0
         self._n_errors = 0
         self._n_rejected = 0
+        self._per_backend_batches = [0] * len(backends)
         self._latencies: deque = deque(maxlen=512)  # seconds, completed reqs
-        self._thread = threading.Thread(
-            target=self._run, name="microbatcher", daemon=True
-        )
-        self._thread.start()
+        self._threads = [
+            threading.Thread(
+                target=self._run, args=(i, fn),
+                name=f"microbatcher-{i}", daemon=True,
+            )
+            for i, fn in enumerate(backends)
+        ]
+        for t in self._threads:
+            t.start()
 
     def submit(self, img: np.ndarray) -> Future:
         """Enqueue one image; resolves to its (H, W) int label map."""
@@ -121,14 +138,14 @@ class MicroBatcher:
                 return None
             return [self._queue.popleft() for _ in range(n)]
 
-    def _run(self):
+    def _run(self, backend_idx, predict_batch):
         while True:
             batch = self._take_batch()
             if batch is None:
                 return
             imgs = [img for img, _, _ in batch]
             try:
-                outs = self._predict_batch(imgs)
+                outs = predict_batch(imgs)
                 if len(outs) != len(imgs):
                     raise RuntimeError(
                         f"backend returned {len(outs)} results "
@@ -144,6 +161,7 @@ class MicroBatcher:
             with self._cond:
                 self._n_requests += len(batch)
                 self._n_batches += 1
+                self._per_backend_batches[backend_idx] += 1
                 for _, _, t0 in batch:
                     self._latencies.append(done - t0)
             for (_, fut, _), out in zip(batch, outs):
@@ -166,6 +184,8 @@ class MicroBatcher:
                     if self._n_batches else 0.0
                 ),
             }
+            if len(self._per_backend_batches) > 1:
+                out["backend_batches"] = list(self._per_backend_batches)
         if lats:
             out["latency_ms_p50"] = 1e3 * lats[len(lats) // 2]
             out["latency_ms_p95"] = 1e3 * lats[int(len(lats) * 0.95)
@@ -178,6 +198,7 @@ class MicroBatcher:
         with self._cond:
             self._n_requests = self._n_batches = 0
             self._n_errors = self._n_rejected = 0
+            self._per_backend_batches = [0] * len(self._per_backend_batches)
             self._latencies.clear()
 
     def close(self):
@@ -189,7 +210,8 @@ class MicroBatcher:
             self._cond.notify_all()
         for _, fut, _ in pending:
             fut.set_exception(RuntimeError("MicroBatcher closed"))
-        self._thread.join()
+        for t in self._threads:
+            t.join()
 
 
 class LivePredictor:

@@ -101,14 +101,23 @@ def export_bundle(
 
 
 class Predictor:
-    """Runs an exported bundle. Needs only jax + numpy + PIL."""
+    """Runs an exported bundle. Needs only jax + numpy + PIL.
 
-    def __init__(self, bundle_dir: str):
+    ``device``: optional ``jax.Device`` to pin params and execution to —
+    one Predictor per chip gives single-process multi-chip serving
+    (exported programs are lowered per *platform*; execution follows the
+    committed arguments' device).
+    """
+
+    def __init__(self, bundle_dir: str, *, device=None):
         with open(os.path.join(bundle_dir, _MANIFEST)) as f:
             self.manifest = json.load(f)
         assert self.manifest["format"] == "semseg_tpu.serving/1"
         npz = np.load(os.path.join(bundle_dir, _PARAMS))
+        self.device = device
         self.leaves = [npz[str(i)] for i in range(len(npz.files))]
+        if device is not None:
+            self.leaves = jax.device_put(self.leaves, device)
         self.programs = {}
         for p in self.manifest["programs"]:
             with open(os.path.join(bundle_dir, p["file"]), "rb") as f:
@@ -161,6 +170,8 @@ class Predictor:
                 batch = np.zeros((b, bh, bw, 3), np.uint8)
                 for j, i in enumerate(chunk):
                     batch[j] = resized[lo + j]
+                if self.device is not None:
+                    batch = jax.device_put(batch, self.device)
                 maps = np.asarray(self.programs[key].call(self.leaves, batch))
                 for j, i in enumerate(chunk):
                     H, W = imgs[i].shape[:2]

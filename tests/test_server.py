@@ -157,6 +157,27 @@ def test_batcher_admission_control(rng):
         mb.close()
 
 
+def test_batcher_multi_backend_work_sharing(rng):
+    """A list of backends -> one dispatcher per backend, shared queue:
+    all results correct, and the work spreads across backends."""
+    mb = MicroBatcher(
+        [_red_channel_backend(delay=0.05) for _ in range(2)],
+        max_batch=2, max_wait_ms=5,
+    )
+    try:
+        imgs = [_img(rng, 6 + i, 9) for i in range(12)]
+        futs = [mb.submit(im) for im in imgs]
+        for im, f in zip(imgs, futs):
+            np.testing.assert_array_equal(f.result(timeout=30), im[:, :, 0])
+        stats = mb.stats()
+        assert stats["requests"] == 12
+        assert sum(stats["backend_batches"]) == stats["batches"]
+        # Each 50ms batch blocks its dispatcher, so the other must serve.
+        assert all(n > 0 for n in stats["backend_batches"])
+    finally:
+        mb.close()
+
+
 def test_batcher_reset_stats(rng):
     mb = MicroBatcher(_red_channel_backend(), max_batch=2, max_wait_ms=5)
     try:
@@ -392,3 +413,18 @@ def test_serve_cli_builds_bundle_backend(tmp_path, rng):
     warmup()  # compiles the one program; must not raise
     got = backend.predict_batch([rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)])
     assert got[0].shape == (64, 64)
+
+    # --devices 2: one device-pinned Predictor per chip (virtual CPU mesh
+    # here), identical outputs from both.
+    from semseg_tpu.cli.serve import build_backends
+
+    args = argparse.Namespace(bundle=out, cfg=None, devices=2)
+    backends, info, warmup = build_backends(args, [])
+    assert info["devices"] == 2 and len(backends) == 2
+    warmup()
+    img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    a, b = (be.predict_batch([img])[0] for be in backends)
+    np.testing.assert_array_equal(a, b)
+    import jax
+
+    assert backends[1].leaves[0].devices() == {jax.devices()[1]}
