@@ -37,6 +37,7 @@ silently select the lucky run.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -50,6 +51,20 @@ BASELINE_SS_FPS = 8.3  # same model, single-scale
 N_IMAGES = 16
 MS_BUCKET = 32          # throughput lattice (headline)
 MS_PARITY_BUCKET = 8    # parity lattice (cli/eval.py default, PARITY.md)
+
+# Internal wall-clock budget: sub-benches that have not STARTED when the
+# budget is exhausted are skipped (and named in the JSON), so the run
+# always ends with a complete result line well before any external
+# timeout. The hard-exit watchdog is the backstop for a sub-bench that
+# hangs mid-flight (engine worker wedge, tunnel stall): it prints the
+# cumulative JSON with whatever is banked and force-exits. BENCH_r04
+# lost the whole round to exactly this failure mode (rc=124,
+# parsed=null, with the single-scale number measured 10 minutes before
+# the timeout but never printed).
+BUDGET_S = float(os.environ.get("SEMSEG_BENCH_BUDGET_S", "1200"))
+HARD_EXIT_S = float(
+    os.environ.get("SEMSEG_BENCH_HARD_EXIT_S", str(BUDGET_S + 480))
+)
 
 
 def sample_odgt_shapes(n=N_IMAGES, seed=0):
@@ -71,8 +86,13 @@ def build_model():
 
     # Same persistent XLA cache the CLIs use: repeat bench runs deserialize
     # the compiled programs (compile time is excluded from every timing loop
-    # anyway — each bench warms up before its timed passes).
-    enable_compile_cache()
+    # anyway — each bench warms up before its timed passes). TPU backend
+    # only: CPU executables in a home-dir cache shared across heterogeneous
+    # fleet hosts deserialize into cpu_aot_loader feature-mismatch spam +
+    # recompile storms (the BENCH_r04 timeout), and a CPU bench run is a
+    # degraded diagnostic anyway.
+    if jax.default_backend() == "tpu":
+        enable_compile_cache()
 
     c = cfg.clone()
     c.MODEL.arch_encoder = "resnet50dilated"
@@ -244,6 +264,101 @@ def bench_train(cfg_node, model, variables):
     return batch * steps / best
 
 
+_T0 = time.monotonic()
+_STATE = {
+    "ss": None, "train": None, "errors": {}, "skipped": [],
+    "platform": None, "hard_exit": False,
+    # MS-protocol variants: key -> (best_fps, median_fps)
+    "ms": None, "ms_packed": None, "dp": None, "dp_packed": None,
+    "ms_parity": None, "ms_parity_dp": None,
+}
+_EMIT_LOCK = threading.Lock()
+
+
+def _compose():
+    """Build the cumulative result JSON from whatever has completed."""
+    s = _STATE
+    candidates = {
+        "ms_host_pyramid": (s["ms"], ""),
+        "ms_host_pyramid_packed": (s["ms_packed"], " (packed buckets)"),
+        "ms_device_pyramid": (s["dp"], " (device-derived pyramids)"),
+        "ms_device_pyramid_packed": (
+            s["dp_packed"], " (device-derived pyramids, packed buckets)"
+        ),
+    }
+    avail = {k: v for k, (v, _) in candidates.items() if v is not None}
+    if avail:
+        best_key = max(avail, key=lambda k: avail[k][0])
+        best_fps, best_median = avail[best_key]
+        out = {
+            "metric": "resnet50dilated+ppm_deepsup 5-scale TTA eval protocol"
+                      + candidates[best_key][1],
+            "value": round(best_fps, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(best_fps / BASELINE_MS_FPS, 2),
+            # Honesty keys (round-2 verdict): shapes are sampled from the
+            # real val odgt, and best-of-N is reported next to median-of-N.
+            "ms_shape_distribution": "odgt",
+            "ms_fps_median": round(best_median, 2),
+        }
+        for key, (res, _) in candidates.items():
+            if res is not None and key != best_key:
+                out[key + "_fps"] = round(res[0], 2)
+                out[key + "_fps_median"] = round(res[1], 2)
+    elif s["ss"] is not None:
+        out = {
+            "metric": "resnet50dilated+ppm_deepsup single-scale inference",
+            "value": round(s["ss"], 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(s["ss"] / BASELINE_SS_FPS, 2),
+        }
+    else:
+        out = {
+            "metric": "resnet50dilated+ppm_deepsup 5-scale TTA eval protocol",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+        }
+    if s["ss"] is not None and avail:
+        out["single_scale_fps"] = round(s["ss"], 2)
+        out["single_scale_vs_baseline"] = round(s["ss"] / BASELINE_SS_FPS, 2)
+    if s["ms_parity"] is not None:
+        out["ms_parity_lattice_fps"] = round(s["ms_parity"][0], 2)
+        out["ms_parity_lattice_fps_median"] = round(s["ms_parity"][1], 2)
+    if s["ms_parity_dp"] is not None:
+        out["ms_parity_device_pyramid_fps"] = round(s["ms_parity_dp"][0], 2)
+        out["ms_parity_device_pyramid_fps_median"] = round(
+            s["ms_parity_dp"][1], 2
+        )
+    if s["train"] is not None:
+        out["train_img_per_s_bs8"] = round(s["train"], 1)
+    if s["errors"]:
+        out["sub_bench_errors"] = s["errors"]
+    if s["skipped"]:
+        out["skipped_over_budget"] = s["skipped"]
+    if s["platform"]:
+        out["platform"] = s["platform"]
+    if s["hard_exit"]:
+        out["hard_exit"] = True
+    out["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    return out
+
+
+def _emit():
+    """Print the CUMULATIVE result line; called after every completed
+    sub-bench so an external timeout can never zero the run (the driver
+    parses the tail — last line wins)."""
+    with _EMIT_LOCK:
+        print(json.dumps(_compose()), flush=True)
+
+
+def _watchdog():
+    """Hard backstop for a sub-bench that hangs mid-flight: bank whatever
+    completed and force-exit before any external timeout fires."""
+    time.sleep(HARD_EXIT_S)
+    _STATE["hard_exit"] = True
+    _emit()
+    os._exit(0)
+
+
 def _check_backend_alive(timeout_s: int = 300):
     """Fail FAST (with a diagnostic JSON line) if the device backend cannot
     initialize — the tunneled axon plugin blocks indefinitely when its link
@@ -273,163 +388,99 @@ def _check_backend_alive(timeout_s: int = 300):
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     _check_backend_alive()
+    _STATE["platform"] = jax.default_backend()
     cfg_node, model, variables = build_model()
-    ss_fps = bench_single_scale(model, variables)
+
+    import traceback
+
+    # A broken sub-bench must not kill the run (everything banked so far
+    # is re-printed after every completion), but it must be LOUD: the
+    # JSON carries each failed sub-bench's exception line and stderr the
+    # traceback (silently-missing keys read as "ran clean").
+    def guarded(name, slot, fn):
+        if time.monotonic() - _T0 > BUDGET_S:
+            _STATE["skipped"].append(name)
+            _emit()
+            return
+        try:
+            _STATE[slot] = fn()
+        except Exception as e:
+            _STATE["errors"][name] = f"{type(e).__name__}: {e}"[:300]
+            # Worker-crash attribution: name the suspect bucket shapes
+            # (dispatched since the engine's last verified fetch) so
+            # the next session can probe + registry them
+            # (tools/fault_probe.py --record) instead of re-bisecting.
+            from semseg_tpu.utils.fault_registry import is_worker_crash
+
+            eng = _LAST_ENGINE[0]
+            if eng is not None and is_worker_crash(e):
+                _STATE["errors"][name + "_crash_suspect_buckets"] = [
+                    f"{h}x{w}" for (h, w) in eng.suspect_buckets()
+                ]
+            traceback.print_exc(file=sys.stderr)
+        _emit()
+
+    guarded("single_scale", "ss",
+            lambda: bench_single_scale(model, variables))
     if os.environ.get("SEMSEG_BENCH_FAST"):
-        ms = train_fps = dp = ms_parity = ms_parity16 = None
-        ms_packed = dp_packed = ms_parity_dp = None
-        errors = {}
-    else:
-        import traceback
+        os._exit(0)
 
-        # A broken sub-bench must not kill the run (the single-scale
-        # number above is already banked, and the fallback JSON branch
-        # below reports it), but it must be LOUD: the JSON carries each
-        # failed sub-bench's exception line and stderr the traceback
-        # (silently-missing keys read as "ran clean").
-        errors = {}
-
-        def guarded(name, fn):
-            try:
-                return fn()
-            except Exception as e:
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-                # Worker-crash attribution: name the suspect bucket shapes
-                # (dispatched since the engine's last verified fetch) so
-                # the next session can probe + registry them
-                # (tools/fault_probe.py --record) instead of re-bisecting.
-                from semseg_tpu.utils.fault_registry import is_worker_crash
-
-                eng = _LAST_ENGINE[0]
-                if eng is not None and is_worker_crash(e):
-                    errors[name + "_crash_suspect_buckets"] = [
-                        f"{h}x{w}" for (h, w) in eng.suspect_buckets()
-                    ]
-                traceback.print_exc(file=sys.stderr)
-                return None
-
-        ms = guarded(
-            "ms_protocol", lambda: bench_ms_protocol(cfg_node, model, variables)
-        )
-        # Bucket packing (--pack-buckets): folds under-filled bucket
-        # batches into covering buckets under the pad caps; drift is
-        # lattice-equal (PARITY.md packed rows), measured +20-60% on the
-        # under-filled real distribution, so it is the deployment
-        # throughput mode — reported as its own key with unpacked
-        # alongside.
-        ms_packed = guarded(
-            "ms_packed",
-            lambda: bench_ms_protocol(
-                cfg_node, model, variables, pack_buckets=True
-            ),
-        )
-        dp = guarded(
-            "device_pyramid",
-            lambda: bench_ms_device_pyramid(cfg_node, model, variables),
-        )
-        # Packed + batch 8: packing keeps larger batches filled, and the
-        # measured forward scaling (228 -> 251 img/s at bs4 -> bs8) carries
-        # into the protocol (round-4 A/B: 22.1 vs 19.9 img/s serial,
-        # bs8 vs bs4) — this is the deployment throughput configuration.
-        dp_packed = guarded(
-            "device_pyramid_packed",
-            lambda: bench_ms_device_pyramid(
-                cfg_node, model, variables, pack_buckets=True, batch_size=8
-            ),
-        )
-        train_fps = guarded(
-            "train", lambda: bench_train(cfg_node, model, variables)
-        )
-        # The parity lattice (eval_bucket_step 8, the cli/eval.py default
-        # protocol) compiles more buckets for the same shapes; reported
-        # alongside so the headline can't hide lattice-choice speedup.
-        # The engine's 'auto' bucket denylist routes around the probed
-        # faulty-shape family (PERF_NOTES "step-8 lattice worker fault"),
-        # so this now completes on the axon stack; it still runs LAST as
-        # insurance — an UNKNOWN faulty shape would kill the worker and
-        # poison every later dispatch in this process (the guarded()
-        # handler then reports the suspect shapes for offline probing).
-        ms_parity16 = None  # step 16: same family, routed too; not re-timed
-        # Device-derived pyramids at the PARITY lattice: oracle drift 8e-5
-        # mIoU at step 8 (PARITY.md), i.e. parity-grade accuracy at the
-        # deployment execution strategy — this is the honest answer to
-        # "what does the parity-settings protocol run at", with the
-        # host-pyramid protocol-verbatim number alongside.
-        ms_parity_dp = guarded(
-            "ms_parity_device_pyramid",
-            lambda: bench_ms_device_pyramid(
-                cfg_node, model, variables,
-                bucket_step=MS_PARITY_BUCKET, reps=3, pack_buckets=True,
-            ),
-        )
-        # pack_buckets=True is the cli/eval.py DEFAULT protocol since
-        # round 4: packed step-8 measures -4.1e-5 mIoU vs unpacked — below
-        # the --exact noise floor (PARITY.md packed rows), so packing is
-        # part of the parity protocol, not a throughput trade.
-        ms_parity = guarded(
-            "ms_parity_lattice",
-            lambda: bench_ms_protocol(
-                cfg_node, model, variables,
-                bucket_step=MS_PARITY_BUCKET, reps=3, pack_buckets=True,
-            ),
-        )
-
-    # Every MS-protocol variant is its own key; the HEADLINE is the best
-    # of them (they are all the same 5-scale TTA protocol on the same
-    # odgt-sampled shape distribution — execution strategy differs).
-    candidates = {
-        "ms_host_pyramid": (ms, ""),
-        "ms_host_pyramid_packed": (ms_packed, " (packed buckets)"),
-        "ms_device_pyramid": (dp, " (device-derived pyramids)"),
-        "ms_device_pyramid_packed": (
-            dp_packed, " (device-derived pyramids, packed buckets)"
+    # Ordered by evidential value (the budget skips from the tail):
+    # 1. Deployment headline: device-derived pyramids + packed buckets +
+    #    batch 8 — packing keeps larger batches filled and the measured
+    #    forward scaling (228 -> 251 img/s at bs4 -> bs8) carries into
+    #    the protocol (round-4 A/B: 22.1 vs 19.9 img/s serial).
+    guarded(
+        "device_pyramid_packed", "dp_packed",
+        lambda: bench_ms_device_pyramid(
+            cfg_node, model, variables, pack_buckets=True, batch_size=8
         ),
-    }
-    avail = {k: v for k, (v, _) in candidates.items() if v is not None}
-    if avail:
-        best_key = max(avail, key=lambda k: avail[k][0])
-        best_fps, best_median = avail[best_key]
-        out = {
-            "metric": "resnet50dilated+ppm_deepsup 5-scale TTA eval protocol"
-                      + candidates[best_key][1],
-            "value": round(best_fps, 2),
-            "unit": "images/sec/chip",
-            "vs_baseline": round(best_fps / BASELINE_MS_FPS, 2),
-            "single_scale_fps": round(ss_fps, 2),
-            "single_scale_vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
-            # Honesty keys (round-2 verdict): shapes are sampled from the
-            # real val odgt, and best-of-N is reported next to median-of-N.
-            "ms_shape_distribution": "odgt",
-            "ms_fps_median": round(best_median, 2),
-        }
-        for key, (res, _) in candidates.items():
-            if res is not None and key != best_key:
-                out[key + "_fps"] = round(res[0], 2)
-                out[key + "_fps_median"] = round(res[1], 2)
-        if ms_parity is not None:
-            out["ms_parity_lattice_fps"] = round(ms_parity[0], 2)
-            out["ms_parity_lattice_fps_median"] = round(ms_parity[1], 2)
-        if ms_parity_dp is not None:
-            out["ms_parity_device_pyramid_fps"] = round(ms_parity_dp[0], 2)
-            out["ms_parity_device_pyramid_fps_median"] = round(
-                ms_parity_dp[1], 2
-            )
-        if ms_parity16 is not None:
-            out["ms_lattice16_fps"] = round(ms_parity16[0], 2)
-            out["ms_lattice16_fps_median"] = round(ms_parity16[1], 2)
-    else:
-        out = {
-            "metric": "resnet50dilated+ppm_deepsup single-scale inference",
-            "value": round(ss_fps, 2),
-            "unit": "images/sec/chip",
-            "vs_baseline": round(ss_fps / BASELINE_SS_FPS, 2),
-        }
-    if train_fps is not None:
-        out["train_img_per_s_bs8"] = round(train_fps, 1)
-    if errors:
-        out["sub_bench_errors"] = errors
-    print(json.dumps(out), flush=True)
+    )
+    # 2. THE parity-grade number (round-4 verdict's missing artifact):
+    #    device-derived pyramids at the PARITY lattice (step 8, packed —
+    #    the cli/eval.py default protocol). Oracle drift 8e-5 mIoU
+    #    (PARITY.md), i.e. parity-grade accuracy at the deployment
+    #    execution strategy. The engine's 'auto' bucket denylist routes
+    #    around the probed faulty step-8 shape family (PERF_NOTES); if an
+    #    UNKNOWN faulty shape kills the worker, the numbers above are
+    #    already banked and guarded() reports the suspect shapes.
+    guarded(
+        "ms_parity_device_pyramid", "ms_parity_dp",
+        lambda: bench_ms_device_pyramid(
+            cfg_node, model, variables,
+            bucket_step=MS_PARITY_BUCKET, reps=3, pack_buckets=True,
+            batch_size=8,
+        ),
+    )
+    # 3. Train throughput (independent of the engines).
+    guarded("train", "train",
+            lambda: bench_train(cfg_node, model, variables))
+    # 4. Host-pyramid protocol-verbatim variants: same 5-scale TTA over
+    #    the same odgt-sampled shapes, pyramids built host-side like the
+    #    reference's dataloader workers. Packing folds under-filled
+    #    bucket batches into covering buckets (drift lattice-equal,
+    #    PARITY.md packed rows).
+    guarded("ms_protocol", "ms",
+            lambda: bench_ms_protocol(cfg_node, model, variables))
+    guarded(
+        "ms_packed", "ms_packed",
+        lambda: bench_ms_protocol(
+            cfg_node, model, variables, pack_buckets=True
+        ),
+    )
+    guarded("device_pyramid", "dp",
+            lambda: bench_ms_device_pyramid(cfg_node, model, variables))
+    # 5. Host-pyramid parity lattice (protocol-verbatim at step 8).
+    guarded(
+        "ms_parity_lattice", "ms_parity",
+        lambda: bench_ms_protocol(
+            cfg_node, model, variables,
+            bucket_step=MS_PARITY_BUCKET, reps=3, pack_buckets=True,
+        ),
+    )
+    _emit()
     # Hard-exit: the axon tunnel / engine worker threads can hang interpreter
     # teardown after the result is already printed (BENCH_r03 recorded
     # rc=124 from exactly this), and nothing after this line matters.

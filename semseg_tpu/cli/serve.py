@@ -30,6 +30,18 @@ def build_backends(args, opts):
     PERF_NOTES "Multi-engine eval dispatch").
     """
     n_devices = getattr(args, "devices", 1) or 1
+    if n_devices > 1:
+        import jax
+
+        avail = len(jax.devices())
+        if avail < n_devices:
+            # Fail fast: silently serving at reduced capacity (the old
+            # jax.devices()[:n] slice) hid provisioning mistakes behind
+            # an info-dict hint nobody reads.
+            raise SystemExit(
+                f"--devices {n_devices} requested but only {avail} "
+                f"device(s) available on this host"
+            )
     if args.bundle:
         if opts:
             raise SystemExit(

@@ -191,8 +191,21 @@ def init_variables(
     except RuntimeError:
         cpu = None
     if cpu is not None and jax.default_backend() != "cpu":
-        with jax.default_device(cpu):
-            variables = jax.tree.map(np.asarray, do_init())
+        # Bracket the CPU-side init with the persistent compilation cache
+        # OFF: XLA:CPU executables serialized from an accelerator-backend
+        # process carry LLVM *tuning* features (+prefer-no-gather/-scatter
+        # on gather-slow Intel models) that the AOT loader's host-feature
+        # check can never satisfy, so every reload fails with
+        # cpu_aot_loader "machine feature not supported" spam and a forced
+        # recompile — the cache can only ever cost time for these tiny
+        # init programs (observed in the round-4 bench timeout).
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            with jax.default_device(cpu):
+                variables = jax.tree.map(np.asarray, do_init())
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
         # local_devices, not devices: on a multi-host run the first GLOBAL
         # device belongs to process 0 and is not addressable elsewhere.
         return jax.device_put(variables, jax.local_devices()[0])

@@ -121,22 +121,39 @@ class MicroBatcher:
         return fut
 
     def _take_batch(self):
-        """Block until a batch is due (size or deadline); None = closed."""
+        """Block until a batch is due (size or deadline); None = closed.
+
+        With multiple backends, dispatchers COMPETE for the queue: one
+        may drain it while another waits on the same deadline. The woken
+        loser must go back to sleep (outer loop), not return None — an
+        n==0 return while open used to kill that dispatcher thread
+        permanently, silently degrading --devices N serving to a single
+        chip after the first light-load request. The flush deadline is
+        also recomputed from the CURRENT queue head after every wakeup:
+        batching new arrivals against a stale (earlier) head's deadline
+        produced premature under-filled batches.
+        """
         with self._cond:
-            while not self._queue:
+            while True:
+                while not self._queue:
+                    if self._closed:
+                        return None
+                    self._cond.wait()
+                deadline = self._queue[0][2] + self.max_wait_s
+                while (self._queue and len(self._queue) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(remaining)
+                    if self._queue:  # head may have changed while waiting
+                        deadline = self._queue[0][2] + self.max_wait_s
+                n = min(len(self._queue), self.max_batch)
+                if n:
+                    return [self._queue.popleft() for _ in range(n)]
                 if self._closed:
                     return None
-                self._cond.wait()
-            deadline = self._queue[0][2] + self.max_wait_s
-            while len(self._queue) < self.max_batch and not self._closed:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                self._cond.wait(remaining)
-            n = min(len(self._queue), self.max_batch)
-            if n == 0:  # closed while waiting: close() drained the queue
-                return None
-            return [self._queue.popleft() for _ in range(n)]
+                # Competing dispatcher drained the queue — wait again.
 
     def _run(self, backend_idx, predict_batch):
         while True:

@@ -34,30 +34,50 @@ def host_fingerprint() -> str:
     ("could lead to execution errors such as SIGILL") and may crash. Jobs
     migrate across heterogeneous hosts between runs while ``~/.cache``
     persists, so the DEFAULT cache dir is namespaced by a hash of the
-    host's CPU flags (+ arch); explicit ``TPU.compile_cache`` paths are
+    host's CPU identity; explicit ``TPU.compile_cache`` paths are
     used verbatim. TPU executables are unaffected either way (their key
     covers the TPU platform/version) — a host change merely recompiles.
+
+    The namespace key includes the CPU *model* (vendor/family/model/
+    stepping/microcode), not just the feature flags: LLVM derives
+    model-based tuning features (e.g. ``+prefer-no-gather`` on
+    gather-slow Intel models) from CPUID, so two hosts with identical
+    cpuinfo ``flags`` lines can still produce mutually-incompatible
+    XLA:CPU AOT artifacts (observed as cpu_aot_loader "machine feature
+    +prefer-no-gather is not supported" spam + forced recompiles when
+    the flags-only namespace was shared across the fleet).
     """
     import hashlib
     import platform
 
     feats = ""
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                key_, _, val = line.partition(":")
+                key_ = key_.strip()
                 # x86 lists capabilities under "flags", aarch64 under
-                # "Features"; either way the feature set is the part of
-                # the key that actually varies between hosts.
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
+                # "Features"; either way the feature set varies between
+                # hosts.
+                if not feats and key_ in ("flags", "Features"):
+                    feats = " ".join(sorted(val.split()))
+                # Model identity: captures LLVM's CPUID-derived tuning
+                # features that the flags line does not reflect.
+                elif key_ in ("vendor_id", "cpu family", "model",
+                              "model name", "stepping", "microcode",
+                              "CPU implementer", "CPU part",
+                              "CPU variant", "CPU revision"):
+                    ident.append(f"{key_}={val.strip()}")
+                elif key_ == "processor" and ident:
+                    break  # one core is enough
     except OSError:
         pass
-    if not feats:
+    if not feats and not ident:
         # Non-Linux / unreadable cpuinfo: fall back to the coarsest stable
         # host identity available rather than sharing one namespace.
         feats = platform.processor() or platform.platform()
-    key = f"{platform.machine()}:{feats}"
+    key = f"{platform.machine()}:{';'.join(ident)}:{feats}"
     return hashlib.sha1(key.encode()).hexdigest()[:10]
 
 

@@ -178,6 +178,37 @@ def test_batcher_multi_backend_work_sharing(rng):
         mb.close()
 
 
+def test_batcher_light_load_keeps_all_dispatchers_alive(rng):
+    """Regression: with multiple backends, a single light-load request
+    wakes every dispatcher at the flush deadline; the losers (empty
+    queue after the winner pops) must go back to waiting, not exit.
+    Pre-fix, the first light-load request killed N-1 dispatcher threads,
+    silently degrading multi-chip serving to a single chip."""
+    mb = MicroBatcher(
+        [_red_channel_backend(), _red_channel_backend(),
+         _red_channel_backend()],
+        max_batch=8, max_wait_ms=10,
+    )
+    try:
+        # Several rounds of single-request light load, each of which
+        # flushes via the deadline with every dispatcher contending.
+        for _ in range(3):
+            im = _img(rng)
+            np.testing.assert_array_equal(
+                mb.submit(im).result(timeout=10), im[:, :, 0]
+            )
+            time.sleep(0.05)  # let losing dispatchers hit the n==0 path
+        assert all(t.is_alive() for t in mb._threads), (
+            "dispatcher thread(s) died under light load"
+        )
+        # And the batcher still serves across backends afterwards.
+        futs = [mb.submit(_img(rng)) for _ in range(12)]
+        for f in futs:
+            f.result(timeout=10)
+    finally:
+        mb.close()
+
+
 def test_batcher_reset_stats(rng):
     mb = MicroBatcher(_red_channel_backend(), max_batch=2, max_wait_ms=5)
     try:
