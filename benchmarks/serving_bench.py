@@ -39,7 +39,10 @@ def build_model(arch, decoder, fc_dim, dtype_str="bfloat16"):
     from semseg_tpu.models import ModelBuilder, init_variables
     from semseg_tpu.utils.compile_cache import enable_compile_cache
 
-    enable_compile_cache()
+    import jax
+
+    if jax.default_backend() == "tpu":  # see bench.py: CPU AOT entries
+        enable_compile_cache()          # never reload cleanly
     c = cfg.clone()
     c.MODEL.arch_encoder = arch
     c.MODEL.arch_decoder = decoder
