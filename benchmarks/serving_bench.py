@@ -131,7 +131,8 @@ def bench_http(backend, args, conc):
     from semseg_tpu.server import MicroBatcher, SegmentationServer
 
     mb = MicroBatcher(backend.predict_batch, max_batch=args.batch,
-                      max_wait_ms=args.max_wait_ms)
+                      max_wait_ms=args.max_wait_ms,
+                      preprocess=getattr(backend, "preprocess", None))
     srv = SegmentationServer(("127.0.0.1", 0), mb, quiet=True)
     srv.serve_background()
     url = f"http://127.0.0.1:{srv.server_address[1]}/segment?format=png"
@@ -162,7 +163,8 @@ def bench_direct(backend, args, conc):
     from semseg_tpu.server import MicroBatcher
 
     mb = MicroBatcher(backend.predict_batch, max_batch=args.batch,
-                      max_wait_ms=args.max_wait_ms)
+                      max_wait_ms=args.max_wait_ms,
+                      preprocess=getattr(backend, "preprocess", None))
     try:
         h, w = args.shape
         rng = np.random.RandomState(0)

@@ -153,6 +153,9 @@ def main(argv=None):
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue,
+        # Live backend: pyramids build in the HTTP handler thread, ahead
+        # of the batcher (all backends share the same dataset transforms).
+        preprocess=getattr(backends[0], "preprocess", None),
     )
     server = SegmentationServer(
         (args.host, args.port), batcher, info=info, quiet=args.quiet,

@@ -73,7 +73,8 @@ class MicroBatcher:
     """
 
     def __init__(self, predict_batch, *, max_batch: int = 8,
-                 max_wait_ms: float = 10.0, max_queue: int = 128):
+                 max_wait_ms: float = 10.0, max_queue: int = 128,
+                 preprocess=None):
         assert max_batch >= 1 and max_wait_ms >= 0 and max_queue >= 1
         backends = (
             list(predict_batch)
@@ -84,6 +85,12 @@ class MicroBatcher:
         self.max_batch = int(max_batch)
         self.max_queue = int(max_queue)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        # Optional per-request CPU preprocessing (e.g. the live backend's
+        # 5-scale pyramid build) run in the SUBMITTING thread, ahead of
+        # the batcher — inside predict_batch it would serialize host work
+        # with device dispatch on the one dispatcher thread (the exact
+        # pattern the engines' upload pipelining exists to avoid).
+        self._preprocess = preprocess
         self._queue: deque = deque()
         self._cond = threading.Condition()
         self._closed = False
@@ -106,6 +113,8 @@ class MicroBatcher:
 
     def submit(self, img: np.ndarray) -> Future:
         """Enqueue one image; resolves to its (H, W) int label map."""
+        if self._preprocess is not None:
+            img = self._preprocess(img)  # caller thread, outside the lock
         fut: Future = Future()
         with self._cond:
             if self._closed:
@@ -256,12 +265,27 @@ class LivePredictor:
             cfg_node.DATASET, bucket_step=cfg_node.TPU.eval_bucket_step
         )
 
+    def preprocess(self, img):
+        """Build the 5-scale pyramid for one request image.
+
+        Wire as ``MicroBatcher(..., preprocess=predictor.preprocess)`` so
+        the CPU-side pyramid build runs in the submitting (HTTP handler)
+        thread and overlaps device work, instead of serializing with
+        dispatch on the dispatcher thread (A/B in PERF_NOTES "Serving
+        endpoint").
+        """
+        return self._ds.multi_scale_pyramid(img, raw=True), img.shape[:2]
+
     def predict_batch(self, imgs):
+        # Accepts raw (H, W, 3) images (direct library use) or items
+        # already built by ``preprocess`` (MicroBatcher wiring above).
         items = [
-            self._ds.multi_scale_pyramid(img, raw=True) for img in imgs
+            it if isinstance(it, tuple) else self.preprocess(it)
+            for it in imgs
         ]
-        seg_sizes = [img.shape[:2] for img in imgs]
-        return self._engine.batched_predict(items, seg_sizes)
+        return self._engine.batched_predict(
+            [p for p, _ in items], [s for _, s in items]
+        )
 
 
 _MAX_BODY = 64 << 20  # request images are photos, not datasets
