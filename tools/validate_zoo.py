@@ -91,9 +91,15 @@ def _subset_odgt(list_val, n, out_dir):
     return path
 
 
-def run_eval(c, *, devices=1, batch=4, logger=None):
+def run_eval(c, *, devices=1, batch=4, logger=None, pack_buckets=True):
     """Full validation pass at the config's settings; returns (mIoU, acc)
-    in 0-100 points, plus per-class IoU."""
+    in 0-100 points, plus per-class IoU.
+
+    ``pack_buckets=True`` matches the cli/eval.py default protocol since
+    round 4 (packed step-8 drift is below the --exact noise floor,
+    PARITY.md packed rows) — the acceptance run validates the protocol
+    users actually get.
+    """
     from semseg_tpu.cli.eval import build_engines, evaluate
     from semseg_tpu.data import ValDataset
     from semseg_tpu.data.loader import EvalLoader
@@ -103,7 +109,7 @@ def run_eval(c, *, devices=1, batch=4, logger=None):
         logger.setLevel(logging.ERROR)
     engines = build_engines(
         c, num_devices=devices, batch=batch, batch_explicit=True,
-        fetch_dtype="float32",
+        fetch_dtype="float32", pack_buckets=pack_buckets,
     )
     dataset = ValDataset(
         c.DATASET.root_dataset, c.DATASET.list_val, c.DATASET,
