@@ -68,15 +68,13 @@ HARD_EXIT_S = float(
 
 
 def sample_odgt_shapes(n=N_IMAGES, seed=0):
-    """Original (H, W) shapes sampled from the REAL val distribution
-    (data/validation.odgt) — a single synthetic shape fills every bucket
-    batch perfectly and flatters the MS number (round-2 verdict)."""
+    """Original (H, W) shapes from the REAL val distribution (shared
+    helper — zoo_bench samples the same distribution)."""
+    from semseg_tpu.data.dataset import sample_odgt_shapes as _sample
+
     odgt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "data", "validation.odgt")
-    recs = [json.loads(l) for l in open(odgt) if l.strip()]
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(recs), n, replace=False)
-    return [(recs[i]["height"], recs[i]["width"]) for i in idx]
+    return _sample(odgt, n, seed)
 
 
 def build_model():
@@ -310,7 +308,11 @@ def _compose():
             "ms_fps_median": round(best_median, 2),
         }
         for key, (res, _) in candidates.items():
-            if res is not None and key != best_key:
+            # ms_parity_device_pyramid is emitted unconditionally below
+            # (the parity artifact must be findable under its own name
+            # even when it is also the headline).
+            if (res is not None and key != best_key
+                    and key != "ms_parity_device_pyramid"):
                 out[key + "_fps"] = round(res[0], 2)
                 out[key + "_fps_median"] = round(res[1], 2)
     elif s["ss"] is not None:
@@ -362,7 +364,8 @@ def _watchdog():
     """Hard backstop for a sub-bench that hangs mid-flight: bank whatever
     completed and force-exit before any external timeout fires."""
     time.sleep(HARD_EXIT_S)
-    _STATE["hard_exit"] = True
+    with _EMIT_LOCK:
+        _STATE["hard_exit"] = True
     _emit()
     os._exit(0)
 
@@ -408,14 +411,20 @@ def main():
     # JSON carries each failed sub-bench's exception line and stderr the
     # traceback (silently-missing keys read as "ran clean").
     def guarded(name, slot, fn):
+        # _STATE mutations happen under _EMIT_LOCK: the watchdog thread
+        # json-serializes _STATE concurrently, and a dict growing during
+        # iteration would kill the watchdog before its os._exit backstop.
         if time.monotonic() - _T0 > BUDGET_S:
-            _STATE["skipped"].append(name)
+            with _EMIT_LOCK:
+                _STATE["skipped"].append(name)
             _emit()
             return
+        result = None
+        err = suspects = None
         try:
-            _STATE[slot] = fn()
+            result = fn()
         except Exception as e:
-            _STATE["errors"][name] = f"{type(e).__name__}: {e}"[:300]
+            err = f"{type(e).__name__}: {e}"[:300]
             # Worker-crash attribution: name the suspect bucket shapes
             # (dispatched since the engine's last verified fetch) so
             # the next session can probe + registry them
@@ -424,10 +433,17 @@ def main():
 
             eng = _LAST_ENGINE[0]
             if eng is not None and is_worker_crash(e):
-                _STATE["errors"][name + "_crash_suspect_buckets"] = [
-                    f"{h}x{w}" for (h, w) in eng.suspect_buckets()
-                ]
+                suspects = [f"{h}x{w}" for (h, w) in eng.suspect_buckets()]
             traceback.print_exc(file=sys.stderr)
+        with _EMIT_LOCK:
+            if err is None:
+                _STATE[slot] = result
+            else:
+                _STATE["errors"][name] = err
+                if suspects is not None:
+                    _STATE["errors"][name + "_crash_suspect_buckets"] = (
+                        suspects
+                    )
         _emit()
 
     guarded("single_scale", "ss",

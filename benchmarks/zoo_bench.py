@@ -54,11 +54,9 @@ N_IMAGES = 16
 
 
 def sample_odgt_shapes(n=N_IMAGES, seed=0):
-    odgt = os.path.join(REPO, "data", "validation.odgt")
-    recs = [json.loads(l) for l in open(odgt) if l.strip()]
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(recs), n, replace=False)
-    return [(recs[i]["height"], recs[i]["width"]) for i in idx]
+    from semseg_tpu.data.dataset import sample_odgt_shapes as _sample
+
+    return _sample(os.path.join(REPO, "data", "validation.odgt"), n, seed)
 
 
 def timed_forward_fps(model, variables, h, w, iters, batch):
@@ -170,6 +168,16 @@ def main():
     }
     results = []
     for name, ref_ss_fps, ref_ms_fps in ZOO:
+        if time.monotonic() - t0 > args.budget_s:
+            # Skip the WHOLE config — model build + forward compile are
+            # exactly the compile-dominated work an external timeout
+            # would otherwise kill mid-flight.
+            results.append(
+                {"config": name, "skipped_over_budget": True}
+            )
+            print(f"{name:45s} skipped (budget)", flush=True)
+            write_results(results, meta)
+            continue
         c = cfg.clone()
         c.merge_from_file(os.path.join(REPO, "config", f"{name}.yaml"))
         model = ModelBuilder.build_model(c, dtype=jnp.bfloat16)
@@ -256,7 +264,7 @@ def main():
     )
     print(f"train step: {train_ips:.1f} img/s", flush=True)
     out = write_results(results, meta)
-    print(f"wrote {out}")
+    print(f"wrote {out}", flush=True)
     # The engines' uploader threads can hang interpreter teardown on the
     # tunneled device; everything is already written.
     os._exit(0)

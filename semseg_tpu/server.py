@@ -111,20 +111,30 @@ class MicroBatcher:
         for t in self._threads:
             t.start()
 
+    def _check_admission(self):
+        """Closed/capacity checks; call with the lock held."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        if len(self._queue) >= self.max_queue:
+            self._n_rejected += 1
+            raise QueueFull(
+                f"{len(self._queue)} requests already queued "
+                f"(max_queue={self.max_queue})"
+            )
+
     def submit(self, img: np.ndarray) -> Future:
         """Enqueue one image; resolves to its (H, W) int label map."""
         if self._preprocess is not None:
+            # Admission-check BEFORE the expensive preprocess so overload
+            # rejection (503) stays cheap — building pyramids for requests
+            # that are then shed would deepen the overload. Re-checked at
+            # enqueue below (the queue may have filled meanwhile).
+            with self._cond:
+                self._check_admission()
             img = self._preprocess(img)  # caller thread, outside the lock
         fut: Future = Future()
         with self._cond:
-            if self._closed:
-                raise RuntimeError("MicroBatcher is closed")
-            if len(self._queue) >= self.max_queue:
-                self._n_rejected += 1
-                raise QueueFull(
-                    f"{len(self._queue)} requests already queued "
-                    f"(max_queue={self.max_queue})"
-                )
+            self._check_admission()
             self._queue.append((img, fut, time.monotonic()))
             self._cond.notify_all()
         return fut

@@ -182,8 +182,7 @@ class Predictor:
                 batch = np.zeros((b, bh, bw, 3), np.uint8)
                 for j, i in enumerate(chunk):
                     batch[j] = resized[lo + j]
-                if self.device is not None:
-                    batch = jax.device_put(batch, self.device)
+                batch = jax.device_put(batch, self.device)
                 maps = np.asarray(self._calls[key](self.leaves, batch))
                 for j, i in enumerate(chunk):
                     H, W = imgs[i].shape[:2]

@@ -459,3 +459,49 @@ def test_serve_cli_builds_bundle_backend(tmp_path, rng):
     import jax
 
     assert backends[1].leaves[0].devices() == {jax.devices()[1]}
+
+
+def test_batcher_preprocess_runs_in_caller_and_respects_admission(rng):
+    """preprocess runs in the submitting thread (items reach the backend
+    already transformed), and overload rejection stays CHEAP: a full
+    queue raises QueueFull BEFORE the preprocess callback runs."""
+    calls = []
+
+    def preprocess(img):
+        calls.append(threading.get_ident())
+        return (img, img.shape[:2])
+
+    def backend(items):
+        # items must be the preprocessed tuples, not raw arrays
+        assert all(isinstance(it, tuple) for it in items)
+        return [np.full(shape, 7, np.int64) for _, shape in items]
+
+    blocked = threading.Event()
+    started = threading.Event()
+
+    def slow_backend(items):
+        started.set()
+        blocked.wait(30)
+        return backend(items)
+
+    mb = MicroBatcher(slow_backend, max_batch=1, max_wait_ms=0, max_queue=2,
+                      preprocess=preprocess)
+    try:
+        futs = [mb.submit(_img(rng))]     # taken by the dispatcher…
+        started.wait(5)                   # …wait until it actually is
+        futs += [mb.submit(_img(rng)) for _ in range(2)]  # fills the queue
+        n_before = len(calls)
+        with pytest.raises(QueueFull):
+            mb.submit(_img(rng))
+        assert len(calls) == n_before, (
+            "preprocess ran for a request that admission control rejected"
+        )
+        assert all(t == threading.get_ident() for t in calls), (
+            "preprocess escaped the submitting thread"
+        )
+        blocked.set()
+        for f in futs:
+            assert f.result(timeout=30).shape == (8, 10)
+    finally:
+        blocked.set()
+        mb.close()

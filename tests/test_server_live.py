@@ -74,3 +74,28 @@ def test_live_predictor_mixed_sizes_batch(live_setup, rng):
     for img, out in zip(imgs, outs):
         assert out.shape == img.shape[:2]
         assert out.min() >= 0 and out.max() < c.DATASET.num_class
+
+
+def test_live_preprocess_path_matches_raw_path(live_setup, rng):
+    """MicroBatcher(preprocess=...) wiring: raw images submitted through
+    the batcher (which preprocesses in the caller thread) must produce
+    the same label maps as predict_batch on raw images."""
+    from semseg_tpu.server import MicroBatcher
+
+    c, _, _, engine = live_setup
+    backend = LivePredictor(c, engine)
+    imgs = [rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+            for _ in range(3)]
+    want = backend.predict_batch(list(imgs))
+
+    mb = MicroBatcher(
+        backend.predict_batch, max_batch=2, max_wait_ms=5,
+        preprocess=backend.preprocess,
+    )
+    try:
+        futs = [mb.submit(im) for im in imgs]
+        got = [f.result(timeout=60) for f in futs]
+    finally:
+        mb.close()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
