@@ -505,3 +505,43 @@ def test_batcher_preprocess_runs_in_caller_and_respects_admission(rng):
     finally:
         blocked.set()
         mb.close()
+
+
+def test_batcher_multi_backend_stress(rng):
+    """Randomized stress over the competing-dispatcher path: mixed burst/
+    idle submission against 4 backends with jittered service times. Locks
+    in the _take_batch loop semantics (no lost wakeups, no dead
+    dispatchers, no dropped or double-completed requests)."""
+    import random
+
+    r = random.Random(0)
+
+    def jittery_backend():
+        def predict_batch(imgs):
+            time.sleep(r.uniform(0, 0.01))
+            return [img[:, :, 0].astype(np.int64) for img in imgs]
+
+        return predict_batch
+
+    mb = MicroBatcher(
+        [jittery_backend() for _ in range(4)], max_batch=3, max_wait_ms=5,
+        max_queue=1000,
+    )
+    try:
+        futs = []
+        imgs = []
+        for i in range(120):
+            im = _img(rng, 5 + (i % 7), 9)
+            imgs.append(im)
+            futs.append(mb.submit(im))
+            if i % 17 == 0:
+                time.sleep(0.02)  # idle gaps force deadline flushes
+        for im, f in zip(imgs, futs):
+            np.testing.assert_array_equal(f.result(timeout=30), im[:, :, 0])
+        stats = mb.stats()
+        assert stats["requests"] == 120
+        assert stats["errors"] == 0
+        assert all(t.is_alive() for t in mb._threads)
+    finally:
+        mb.close()
+    assert all(not t.is_alive() for t in mb._threads)
