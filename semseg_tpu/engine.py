@@ -193,6 +193,12 @@ class InferenceEngine:
     # probes those suspects (semseg_tpu.probing) and records confirmed
     # faults in the persistent registry.
     def _note_dispatch(self, key):
+        # Known limitation: only FORWARD bucket shapes are attributed.
+        # The epilogue programs (accumulate/argmax/metrics at canvas
+        # shapes) are not tracked here, so a runtime fault in a fresh
+        # canvas-shape epilogue program would surface with forward-only
+        # suspects (probing.py stage='epilogue' exists for manual
+        # bisection of that class; no such fault has been observed).
         if key not in self._pending_buckets:
             self._pending_buckets.append(key)
 
@@ -458,7 +464,6 @@ class BatchedInferenceEngine(InferenceEngine):
         map ever crosses the (slow) device→host link.
         """
 
-        @jax.jit
         def run(acc, logits, hv, wv, H, W):
             hp, wp, c = logits.shape
             Hp, Wp = acc.shape[0], acc.shape[1]
@@ -477,7 +482,12 @@ class BatchedInferenceEngine(InferenceEngine):
             p = jnp.where((ii < H) & (jj < W), p, 0.0)
             return acc + p
 
-        return run
+        # Donate the accumulator: callers overwrite their only reference
+        # (accs[i] = _accum_fn(accs[i], ...)), and without donation XLA
+        # holds input AND output canvases live per call — a transient
+        # extra canvas (up to ~1 GB at large label sizes) that the
+        # canvas-window budget does not account for.
+        return jax.jit(run, donate_argnums=(0,))
 
     @functools.cached_property
     def _argmax_fn(self):
@@ -810,6 +820,14 @@ class BatchedInferenceEngine(InferenceEngine):
             )
         return out
 
+    def _void_label_canvas(self, label, H, W):
+        """uint8 label canvas at the accumulate-canvas shape: 255 = void
+        (the reference's -1), padding beyond (H, W) stays void so it
+        counts nothing in the on-device metrics."""
+        lab = np.full(self._bucket_key(H, W), 255, np.uint8)
+        lab[:H, :W] = np.where(label < 0, 255, label).astype(np.uint8)
+        return lab
+
     def _metrics_finalizer(self, seg_sizes, labels):
         """Returns (finalize, prepare_window): each window's uint8 label
         canvases go up in ONE batched device_put instead of one transfer
@@ -821,12 +839,7 @@ class BatchedInferenceEngine(InferenceEngine):
             host = []
             for i in window:
                 H, W = seg_sizes[i]
-                # 255 = void (-1); canvas shape matches the accum canvas.
-                lab = np.full(self._bucket_key(H, W), 255, np.uint8)
-                lab[:H, :W] = np.where(
-                    labels[i] < 0, 255, labels[i]
-                ).astype(np.uint8)
-                host.append(lab)
+                host.append(self._void_label_canvas(labels[i], H, W))
             for i, d in zip(window, self._put_tree(host)):
                 dev_labels[i] = d
 
@@ -879,12 +892,6 @@ class BatchedInferenceEngine(InferenceEngine):
             return self._device_postproc_predict(items, seg_sizes)
 
         groups = self._group_by_bucket(items)
-
-        # Host-postproc path: per-image score canvases on the host.
-        accs = [
-            np.zeros((*seg_sizes[i], self.num_class), np.float32)
-            for i in range(n_items)
-        ]
         counts = [len(p) for p in items]
 
         def fetch_and_postprocess(item_idx, dev_logits_row, h, w, seg_size):
@@ -893,36 +900,54 @@ class BatchedInferenceEngine(InferenceEngine):
             logits = np.asarray(dev_logits_row)
             return item_idx, self._postprocess(logits, h, w, seg_size)
 
-        with ThreadPoolExecutor(self.postproc_workers) as pool:
-            futures = []
-            # Dispatch all batches first (async), then collect.
-            for (ph, pw), tasks in groups.items():
-                for lo in range(0, len(tasks), self.batch_size):
-                    chunk = tasks[lo : lo + self.batch_size]
-                    bsz = len(chunk)
-                    # Pad the final chunk to the full batch so each bucket
-                    # compiles exactly once; surplus outputs are dropped.
-                    padded_chunk = chunk + [chunk[-1]] * (self.batch_size - bsz)
-                    dev_logits, _ = self._forward_host_chunk(
-                        (ph, pw), padded_chunk, to_fetch=True
-                    )
-                    for j in range(bsz):
-                        item_idx, _, h, w = chunk[j]
-                        futures.append(
-                            pool.submit(
-                                fetch_and_postprocess, item_idx, dev_logits[j],
-                                h, w, seg_sizes[item_idx],
-                            )
+        # Host-postproc path: per-image float32 score canvases on the HOST.
+        # Items are processed in canvas-budget windows (same budget as the
+        # device path) — allocating every canvas up front and dispatching
+        # every chunk before draining any fetch peaked at
+        # sum-over-items(H*W*150*4) host bytes plus all in-flight device
+        # logits (tens of GB on large-image lists).
+        res = [None] * n_items
+        for window in self._canvas_windows(seg_sizes, list(range(n_items))):
+            win_set = set(window)
+            accs = {
+                i: np.zeros((*seg_sizes[i], self.num_class), np.float32)
+                for i in window
+            }
+            with ThreadPoolExecutor(self.postproc_workers) as pool:
+                futures = []
+                # Dispatch this window's batches (async), then collect.
+                for (ph, pw), tasks in groups.items():
+                    wtasks = [t for t in tasks if t[0] in win_set]
+                    for lo in range(0, len(wtasks), self.batch_size):
+                        chunk = wtasks[lo : lo + self.batch_size]
+                        bsz = len(chunk)
+                        # Pad the final chunk to the full batch so each
+                        # bucket compiles exactly once; surplus outputs
+                        # are dropped.
+                        padded_chunk = (
+                            chunk + [chunk[-1]] * (self.batch_size - bsz)
                         )
+                        dev_logits, _ = self._forward_host_chunk(
+                            (ph, pw), padded_chunk, to_fetch=True
+                        )
+                        for j in range(bsz):
+                            item_idx, _, h, w = chunk[j]
+                            futures.append(
+                                pool.submit(
+                                    fetch_and_postprocess, item_idx,
+                                    dev_logits[j], h, w,
+                                    seg_sizes[item_idx],
+                                )
+                            )
 
-            for fut in futures:
-                item_idx, scores = fut.result()
-                accs[item_idx] += scores
+                for fut in futures:
+                    item_idx, scores = fut.result()
+                    accs[item_idx] += scores
+            for i in window:
+                res[i] = (accs[i] / counts[i]).argmax(-1)
 
         self._mark_verified()
-        return [
-            (accs[i] / counts[i]).argmax(-1) for i in range(n_items)
-        ]
+        return res
 
 
 def _pil_resize_matrix(out_pad: int, in_pad: int, out_valid, in_valid):
@@ -1100,12 +1125,7 @@ class DevicePyramidEngine(BatchedInferenceEngine):
                 padded[:h, :w] = ori
                 host_oris.append(padded)
                 H, W = seg_sizes[i]
-                # Shape must match the accumulate canvas (_bucket_key).
-                lab = np.full(self._bucket_key(H, W), 255, np.uint8)
-                lab[:H, :W] = np.where(
-                    labels[i] < 0, 255, labels[i]
-                ).astype(np.uint8)
-                host_labs.append(lab)
+                host_labs.append(self._void_label_canvas(labels[i], H, W))
             dev_oris, dev_labs = self._put_tree((host_oris, host_labs))
             for i, d_ori, d_lab in zip(idx_list, dev_oris, dev_labs):
                 canvases[i] = self._embed_fn(d_ori)

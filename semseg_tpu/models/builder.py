@@ -199,13 +199,29 @@ def init_variables(
         # cpu_aot_loader "machine feature not supported" spam and a forced
         # recompile — the cache can only ever cost time for these tiny
         # init programs (observed in the round-4 bench timeout).
+        def _reset_cache_memo():
+            # jax memoizes the cache-in-use decision at first compile
+            # (compilation_cache.is_cache_used's _cache_checked global),
+            # so flipping the config alone is a no-op once anything has
+            # compiled; reset_cache() drops the memo so the new setting
+            # actually takes effect (observed: RNG init programs kept
+            # persisting despite the disable).
+            try:
+                from jax._src import compilation_cache as _cc
+
+                _cc.reset_cache()
+            except Exception:
+                pass  # private API drifted: worst case is stderr spam
+
         prev = jax.config.jax_enable_compilation_cache
         jax.config.update("jax_enable_compilation_cache", False)
+        _reset_cache_memo()
         try:
             with jax.default_device(cpu):
                 variables = jax.tree.map(np.asarray, do_init())
         finally:
             jax.config.update("jax_enable_compilation_cache", prev)
+            _reset_cache_memo()
         # local_devices, not devices: on a multi-host run the first GLOBAL
         # device belongs to process 0 and is not addressable elsewhere.
         return jax.device_put(variables, jax.local_devices()[0])

@@ -261,9 +261,12 @@ class LivePredictor:
     lattice, same Pillow-bit-exact resampling), raw-uint8 transport.
     """
 
-    def __init__(self, cfg_node, engine):
+    def __init__(self, cfg_node, engine, *, max_seg_pixels: int = 2 << 20):
         from semseg_tpu.data.dataset import PyramidBuilder
 
+        # ~2.1 MP default (≈1448²): a full-resolution float32 score canvas
+        # of (H, W, 150) stays ≤ ~1.3 GB HBM per request (see preprocess).
+        self.max_seg_pixels = int(max_seg_pixels)
         # Caught live by the first verify drive: the plain InferenceEngine
         # has no batched_predict — fail at construction, not per request.
         assert hasattr(engine, "batched_predict"), (
@@ -284,7 +287,23 @@ class LivePredictor:
         dispatch on the dispatcher thread (A/B in PERF_NOTES "Serving
         endpoint").
         """
-        return self._ds.multi_scale_pyramid(img, raw=True), img.shape[:2]
+        h, w = img.shape[:2]
+        # Cap the SCORE-canvas resolution: the on-device accumulate
+        # allocates (H, W, num_class) float32 per image, so an untrusted
+        # 12-megapixel request (well under the HTTP body cap) would ask
+        # for a ~7 GB canvas and OOM the chip for every co-batched
+        # request. Pyramid scales are already bounded by imgMaxSize; the
+        # canvas was not. Oversized requests are scored at the capped
+        # resolution and the label map NEAREST-upscaled — the class
+        # boundary error is at most the downscale factor in pixels,
+        # invisible next to the model's own output stride.
+        area = h * w
+        if area > self.max_seg_pixels:
+            s = (self.max_seg_pixels / area) ** 0.5
+            seg = (max(1, round(h * s)), max(1, round(w * s)))
+        else:
+            seg = (h, w)
+        return self._ds.multi_scale_pyramid(img, raw=True), seg, (h, w)
 
     def predict_batch(self, imgs):
         # Accepts raw (H, W, 3) images (direct library use) or items
@@ -293,9 +312,22 @@ class LivePredictor:
             it if isinstance(it, tuple) else self.preprocess(it)
             for it in imgs
         ]
-        return self._engine.batched_predict(
-            [p for p, _ in items], [s for _, s in items]
+        preds = self._engine.batched_predict(
+            [p for p, _, _ in items], [s for _, s, _ in items]
         )
+        out = []
+        for pred, (_, seg, orig) in zip(preds, items):
+            if seg != orig:
+                from PIL import Image
+
+                pred = np.asarray(
+                    Image.fromarray(pred.astype(np.int32), mode="I").resize(
+                        (orig[1], orig[0]), Image.NEAREST
+                    ),
+                    np.int64,
+                )
+            out.append(pred)
+        return out
 
 
 _MAX_BODY = 64 << 20  # request images are photos, not datasets
