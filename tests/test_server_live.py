@@ -99,3 +99,28 @@ def test_live_preprocess_path_matches_raw_path(live_setup, rng):
         mb.close()
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_live_seg_canvas_cap_upscales_label_map(live_setup, rng):
+    """Oversized request images are scored at a capped canvas resolution
+    and NEAREST-upscaled back — the canvas allocation (H*W*num_class f32
+    on device) must not scale with untrusted request size."""
+    c, _, _, engine = live_setup
+    capped = LivePredictor(c, engine, max_seg_pixels=32 * 32)
+    img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    pyr, seg, orig = capped.preprocess(img)
+    assert orig == (64, 64)
+    assert seg[0] * seg[1] <= 32 * 32
+    out = capped.predict_batch([img])[0]
+    assert out.shape == (64, 64)  # full-size label map returned
+    # And the capped prediction is the NEAREST-upscale of the small one.
+    small = engine.batched_predict([pyr], [seg])[0]
+    from PIL import Image
+
+    want = np.asarray(
+        Image.fromarray(small.astype(np.int32), mode="I").resize(
+            (64, 64), Image.NEAREST
+        ),
+        np.int64,
+    )
+    np.testing.assert_array_equal(out, want)
