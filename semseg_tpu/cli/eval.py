@@ -45,8 +45,11 @@ def visualize_result(item, pred, save_dir):
     im_vis = np.concatenate((img, seg_color, pred_color), axis=1).astype(np.uint8)
     img_name = os.path.basename(item["info"])
     os.makedirs(save_dir, exist_ok=True)
+    # splitext, not .replace(".jpg", ...): replace rewrites a ".jpg"
+    # anywhere in the name and leaves .jpeg/.JPG sources extension-
+    # mislabeled for the PNG bytes PIL writes.
     Image.fromarray(im_vis).save(
-        os.path.join(save_dir, img_name.replace(".jpg", ".png"))
+        os.path.join(save_dir, os.path.splitext(img_name)[0] + ".png")
     )
 
 
@@ -81,7 +84,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                     break
         return out
 
-    def score_one(engine, item, pred):
+    def score_one(item, pred):
         seg_label = np.asarray(item["seg_label"][0])
         acc, pix = accuracy(pred, seg_label)
         inter, union = intersectionAndUnion(pred, seg_label, cfg.DATASET.num_class)
@@ -162,7 +165,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                         time_meter.update(elapsed)
                         if pbar is not None:
                             pbar.update(1)
-                    score_one(engine, item, pred)
+                    score_one(item, pred)
             else:
                 item = chunk[0]
                 seg_label = np.asarray(item["seg_label"][0])
@@ -172,7 +175,7 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
                     time_meter.update(time.perf_counter() - tic)
                     if pbar is not None:
                         pbar.update(1)
-                score_one(engine, item, pred)
+                score_one(item, pred)
 
     errors = []
 
@@ -199,7 +202,11 @@ def evaluate(engines, loader, cfg, logger, visualize=False, vis_dir=None):
     iou, miou = miou_from_meters(iou_meter_inter, iou_meter_union)
     names = load_class_names()
     for i, class_iou in enumerate(iou):
-        logger.info(f"class [{i}], IoU: {class_iou:.4f}  ({names[i + 1]})")
+        # .get: the name map is the 150-class ADE20K table; a config
+        # with a different num_class must not crash the summary.
+        logger.info(
+            f"class [{i}], IoU: {class_iou:.4f}  ({names.get(i + 1, '?')})"
+        )
     logger.info(
         f"[Eval Summary]:\nMean IoU: {miou:.4f}, "
         f"Accuracy: {acc_meter.average() * 100:.2f}%, "
@@ -445,6 +452,30 @@ def main(argv=None):
         cfg.TPU.eval_bucket_step = args.bucket_step
 
     # Reference checkpoint name convention (eval.py:183-188).
+    if args.bucket_denylist == "auto":
+        denylist = "auto"
+    elif args.bucket_denylist in ("none", ""):
+        denylist = ()
+    else:
+        # Validate each entry is exactly HxW: a malformed shape would
+        # parse into a tuple that silently never matches any bucket key,
+        # so the user believes a faulty shape is routed around while the
+        # engine still dispatches it.
+        denylist = []
+        for s in args.bucket_denylist.split(","):
+            parts = s.strip().split("x")
+            try:
+                hw = tuple(int(v) for v in parts)
+            except ValueError:
+                hw = ()
+            if len(hw) != 2:
+                raise SystemExit(
+                    f"--bucket-denylist entry {s!r} is not HxW "
+                    "(e.g. 304x400)"
+                )
+            denylist.append(hw)
+        denylist = tuple(denylist)
+
     from semseg_tpu.checkpoint import resolve_reference_checkpoint
 
     resolve_reference_checkpoint(cfg, cfg.VAL.checkpoint)
@@ -467,15 +498,6 @@ def main(argv=None):
         logger.warning(
             "--device-pyramid ignored (requires --batch > 1, no --exact, "
             "no --spatial, and VAL.visualize False)"
-        )
-    if args.bucket_denylist == "auto":
-        denylist = "auto"
-    elif args.bucket_denylist in ("none", ""):
-        denylist = ()
-    else:
-        denylist = tuple(
-            tuple(int(v) for v in s.split("x"))
-            for s in args.bucket_denylist.split(",")
         )
     engines = build_engines(
         cfg, args.devices, exact=args.exact, spatial=args.spatial,
@@ -500,7 +522,14 @@ def main(argv=None):
         start_idx=args.start_idx,
         end_idx=args.end_idx,
     )
-    loader = EvalLoader(dataset, num_workers=5, prefetch=8)
+    # Prefetch must cover at least one engine's chunk (32 for batched
+    # engines): with prefetch 8, chunk assembly drained the prefetched
+    # items then blocked on on-demand decodes while HOLDING the iterator
+    # lock, idling the other engines' devices.
+    loader = EvalLoader(
+        dataset, num_workers=5,
+        prefetch=max(16, 32 * max(1, len(engines))) if batch > 1 else 16,
+    )
     profiling = [False]
     if args.profile:
         os.makedirs(args.profile, exist_ok=True)

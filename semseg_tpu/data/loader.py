@@ -69,6 +69,13 @@ class TrainLoader:
                 yield self.queue.get(timeout=1.0)
             except empty:
                 if not any(t.is_alive() for t in self._threads):
+                    # A worker may have recorded its exception AFTER the
+                    # errors check above but before this timeout — surface
+                    # the real cause, not a generic all-dead message.
+                    if self._errors:
+                        raise RuntimeError(
+                            "TrainLoader worker failed"
+                        ) from self._errors[0]
                     raise RuntimeError("All TrainLoader workers exited")
 
     def close(self):
